@@ -1,0 +1,25 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are tested the standard way — CPU with
+``--xla_force_host_platform_device_count`` — so the suite runs anywhere;
+the real-TPU path is exercised by bench.py / the driver.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    path = "/root/reference/examples/binaries"
+    if not os.path.isdir(path):
+        pytest.skip("reference golden vectors not available")
+    return path
