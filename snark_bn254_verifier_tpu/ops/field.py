@@ -1,0 +1,330 @@
+"""Batched Montgomery field arithmetic for TPU (jnp reference path).
+
+Implements Fq/Fr arithmetic on uint32 limb arrays of shape ``(16, *batch)``
+(see ops/limbs.py for the layout rationale). All functions broadcast over
+trailing batch axes, contain no data-dependent Python control flow, and are
+jit/vmap/shard_map-safe. The CIOS Montgomery product keeps every intermediate
+strictly below 2^32 so plain uint32 lane arithmetic is exact:
+
+    t[j] + a_i*b_j + c  <=  (2^16-1) + (2^16-1)^2 + (2^16-1)  =  2^32 - 1.
+
+This is the TPU-native replacement for the reference's `substrate-bn` field
+layer (`bn::Fq`, `bn::Fr`; reference call sites at
+verifier/src/groth16/verify.rs:2, verifier/src/plonk/verify.rs:2).
+A Pallas kernel with identical semantics lives in ops/field_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle import bn254 as bn
+from .limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs
+
+L = NUM_LIMBS
+_MASK = np.uint32(LIMB_MASK)
+_SHIFT = LIMB_BITS
+
+
+def _unstack(x) -> List:
+    return [x[i] for i in range(L)]
+
+
+def _stack(parts: List):
+    return jnp.stack(parts, axis=0)
+
+
+class FieldSpec:
+    """Static per-field constants (derived numerically, nothing hand-typed)."""
+
+    def __init__(self, modulus: int, name: str):
+        self.modulus = modulus
+        self.name = name
+        self.mod_limbs = [np.uint32((modulus >> (LIMB_BITS * i)) & LIMB_MASK) for i in range(L)]
+        r = 1 << (LIMB_BITS * L)
+        self.r_mod = r % modulus
+        self.r2 = (r * r) % modulus
+        # n0inv = -modulus^-1 mod 2^16 (per-limb CIOS constant)
+        self.n0inv = np.uint32((-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        self.one_mont_np = int_to_limbs(self.r_mod)         # mont(1)
+        self.r2_np = int_to_limbs(self.r2)
+        self.zero_np = int_to_limbs(0)
+
+    # -- host packing -------------------------------------------------------
+    def to_mont_int(self, v: int) -> int:
+        return ((v % self.modulus) << (LIMB_BITS * L)) % self.modulus
+
+    def pack(self, values, mont: bool = True):
+        """Host: list of ints -> (16, B) uint32 array (Montgomery form)."""
+        vals = [self.to_mont_int(v) if mont else v % self.modulus for v in values]
+        return np.stack([int_to_limbs(v) for v in vals], axis=1)
+
+    def pack_scalar(self, v: int, mont: bool = True):
+        return int_to_limbs(self.to_mont_int(v) if mont else v % self.modulus)
+
+
+FQ = FieldSpec(bn.P, "fq")
+FR = FieldSpec(bn.R, "fr")
+
+
+# ---------------------------------------------------------------------------
+# Core limb ops
+# ---------------------------------------------------------------------------
+
+
+def _cond_sub_mod(spec: FieldSpec, t: List, extra):
+    """Given limbs t[0..L) plus a 0/1 overflow word ``extra``, return
+    t - modulus if t >= modulus (including the overflow word), else t."""
+    n = spec.mod_limbs
+    borrow = None
+    d = []
+    for j in range(L):
+        s = t[j] - n[j] - (borrow if borrow is not None else np.uint32(0))
+        d.append(s & _MASK)
+        borrow = s >> np.uint32(31)
+    # subtract happens when extra==1 (value >= 2^256 > modulus) or no borrow
+    do_sub = jnp.logical_or(extra.astype(jnp.bool_), borrow == 0)
+    return [jnp.where(do_sub, dj, tj) for dj, tj in zip(d, t)]
+
+
+def add(spec: FieldSpec, a, b):
+    """(a + b) mod modulus."""
+    al, bl = _unstack(a), _unstack(b)
+    t = []
+    carry = np.uint32(0)
+    for j in range(L):
+        s = al[j] + bl[j] + carry
+        t.append(s & _MASK)
+        carry = s >> np.uint32(_SHIFT)
+    return _stack(_cond_sub_mod(spec, t, carry))
+
+
+def sub(spec: FieldSpec, a, b):
+    """(a - b) mod modulus."""
+    al, bl = _unstack(a), _unstack(b)
+    n = spec.mod_limbs
+    d = []
+    borrow = np.uint32(0)
+    for j in range(L):
+        s = al[j] - bl[j] - borrow
+        d.append(s & _MASK)
+        borrow = s >> np.uint32(31)
+    # if borrowed, add modulus back
+    need = borrow.astype(jnp.bool_)
+    out = []
+    carry = np.uint32(0)
+    for j in range(L):
+        s = d[j] + jnp.where(need, jnp.uint32(n[j]), jnp.uint32(0)) + carry
+        out.append(s & _MASK)
+        carry = s >> np.uint32(_SHIFT)
+    return _stack(out)
+
+
+def neg(spec: FieldSpec, a):
+    zero = jnp.zeros_like(a)
+    return jnp.where(is_zero(a)[None], zero, sub(spec, zero, a))
+
+
+def _mod_vec(spec: FieldSpec, batch_ndim: int):
+    """Modulus limbs as a (16, 1, ..) broadcastable device constant."""
+    n = jnp.asarray(np.asarray(spec.mod_limbs, dtype=np.uint32))
+    return n.reshape((L,) + (1,) * batch_ndim)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product a * b * R^-1 mod modulus (R = 2^256).
+
+    Vectorized column accumulation with deferred carries: the schoolbook
+    product and the Montgomery reduction both accumulate 16-bit limb
+    products into 2L+1 uint32 columns (each column sums < 64 terms of
+    < 2^16, so the maximum column value stays below 2^22 — far from uint32
+    overflow), and carries are only resolved where the algorithm needs
+    exact low bits (the per-step m digit) plus one final normalization
+    pass. This keeps the traced graph ~7x smaller than a scalar CIOS
+    unroll and every op full-width over the limb axis.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((2 * L + 1,) + batch_shape, jnp.uint32)
+    # product phase: acc[i+j] += lo(a_i*b_j), acc[i+j+1] += hi(a_i*b_j)
+    for i in range(L):
+        p = a[i][None] * b  # (16, *batch)
+        acc = acc.at[i : i + L].add(p & _MASK)
+        acc = acc.at[i + 1 : i + L + 1].add(p >> np.uint32(_SHIFT))
+    # reduction phase: zero columns 0..L-1, absorbing ripple carries
+    n_vec = _mod_vec(spec, len(batch_shape))
+    n0inv = spec.n0inv
+    for i in range(L):
+        if i > 0:
+            acc = acc.at[i].add(acc[i - 1] >> np.uint32(_SHIFT))
+        m = (acc[i] * n0inv) & _MASK
+        p = m[None] * n_vec
+        acc = acc.at[i : i + L].add(p & _MASK)
+        acc = acc.at[i + 1 : i + L + 1].add(p >> np.uint32(_SHIFT))
+    acc = acc.at[L].add(acc[L - 1] >> np.uint32(_SHIFT))
+    # normalize the result columns L..2L
+    t = []
+    carry = np.uint32(0)
+    for j in range(L, 2 * L):
+        s = acc[j] + carry
+        t.append(s & _MASK)
+        carry = s >> np.uint32(_SHIFT)
+    top = acc[2 * L] + carry
+    return _stack(_cond_sub_mod(spec, t, top))
+
+
+def mont_sq(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def double(spec: FieldSpec, a):
+    return add(spec, a, a)
+
+
+# ---------------------------------------------------------------------------
+# Predicates / select
+# ---------------------------------------------------------------------------
+
+
+def is_zero(a):
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(cond, a, b):
+    """cond has batch shape; missing leading axes (limb/component) are
+    broadcast automatically."""
+    extra = a.ndim - cond.ndim
+    return jnp.where(cond[(None,) * extra], a, b)
+
+
+def geq_half(spec: FieldSpec, a):
+    """a > (modulus-1)/2, i.e. 'lexicographically largest' (gnark order).
+    Expects canonical (non-Montgomery) limbs."""
+    half = (spec.modulus - 1) // 2
+    hl = [np.uint32((half >> (LIMB_BITS * i)) & LIMB_MASK) for i in range(L)]
+    al = _unstack(a)
+    gt = None
+    for j in range(L):  # from least to most significant
+        limb_gt = al[j] > hl[j]
+        limb_eq = al[j] == hl[j]
+        gt = limb_gt if gt is None else jnp.where(limb_eq, gt, limb_gt)
+    return gt
+
+
+# ---------------------------------------------------------------------------
+# Conversions / exponentiation / inversion
+# ---------------------------------------------------------------------------
+
+
+def to_mont(spec: FieldSpec, a):
+    return mont_mul(spec, a, _const(spec.r2_np, a))
+
+
+def from_mont(spec: FieldSpec, a):
+    one = jnp.zeros_like(a).at[0].set(1)
+    return mont_mul(spec, a, one)
+
+
+def _const(np_limbs, like):
+    """Broadcast a (16,) numpy constant against the batch shape of ``like``."""
+    c = jnp.asarray(np_limbs, dtype=jnp.uint32)
+    return c.reshape((L,) + (1,) * (like.ndim - 1))
+
+
+def one_mont(spec: FieldSpec, like):
+    return jnp.broadcast_to(_const(spec.one_mont_np, like), like.shape)
+
+
+def pow_const(spec: FieldSpec, a, exponent: int):
+    """a^exponent (Montgomery in, Montgomery out) for a fixed Python-int
+    exponent; implemented as a lax.scan over the static bit schedule so the
+    traced graph stays two multiplies regardless of exponent size."""
+    if exponent == 0:
+        return one_mont(spec, a)
+    bits = jnp.asarray([int(b) for b in bin(exponent)[2:]], dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = mont_sq(spec, acc)
+        acc_mul = mont_mul(spec, acc, a)
+        return select(bit.astype(jnp.bool_), acc_mul, acc), None
+
+    init = one_mont(spec, a)
+    # first bit is always 1: start from a directly to save one iteration
+    out, _ = jax.lax.scan(body, init, bits)
+    return out
+
+
+def inv(spec: FieldSpec, a):
+    """Fermat inversion a^(modulus-2); maps zero to zero."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def sqrt_q3mod4(spec: FieldSpec, a):
+    """Square root via a^((p+1)/4) (valid for p % 4 == 3, i.e. Fq).
+    Returns (root, ok) where ok indicates a was a quadratic residue."""
+    assert spec.modulus % 4 == 3
+    r = pow_const(spec, a, (spec.modulus + 1) // 4)
+    ok = eq(mont_sq(spec, r), a)
+    return r, jnp.logical_or(ok, is_zero(a))
+
+
+def batch_inv(spec: FieldSpec, a, axis: int = -1):
+    """Montgomery-trick batched inversion along a batch axis: one Fermat
+    inversion amortized over the whole axis. Zero entries map to zero.
+
+    a: (16, ..., N, ...) with the scan axis given relative to batch dims.
+    """
+    # move target axis to position 1 (right after limbs)
+    batch_axis = axis if axis >= 0 else a.ndim + axis
+    perm = [0, batch_axis] + [i for i in range(1, a.ndim) if i != batch_axis]
+    x = jnp.transpose(a, perm)
+    n = x.shape[1]
+    onem = one_mont(spec, x[:, 0])
+    zmask = is_zero(x)  # (n, ...)
+    safe = jnp.where(zmask[None], _bcast_one(spec, x), x)
+
+    def fwd(carry, xi):
+        nxt = mont_mul(spec, carry, xi)
+        return nxt, carry  # prefix product BEFORE xi
+
+    total, prefixes = jax.lax.scan(fwd, onem, jnp.moveaxis(safe, 1, 0))
+    total_inv = inv(spec, total)
+
+    def bwd(carry, inp):
+        xi, prefix = inp
+        out_i = mont_mul(spec, carry, prefix)  # inverse of xi
+        nxt = mont_mul(spec, carry, xi)
+        return nxt, out_i
+
+    _, invs = jax.lax.scan(bwd, total_inv, (jnp.moveaxis(safe, 1, 0), prefixes), reverse=True)
+    invs = jnp.moveaxis(invs, 0, 1)
+    invs = jnp.where(zmask[None], jnp.zeros_like(invs), invs)
+    inv_perm = [perm.index(i) for i in range(a.ndim)]
+    return jnp.transpose(invs, inv_perm)
+
+
+def _bcast_one(spec: FieldSpec, like):
+    return jnp.broadcast_to(_const(spec.one_mont_np, like), like.shape)
+
+
+# Convenience partials for the two fields
+fq_add = functools.partial(add, FQ)
+fq_sub = functools.partial(sub, FQ)
+fq_neg = functools.partial(neg, FQ)
+fq_mul = functools.partial(mont_mul, FQ)
+fq_sq = functools.partial(mont_sq, FQ)
+fq_inv = functools.partial(inv, FQ)
+fr_add = functools.partial(add, FR)
+fr_sub = functools.partial(sub, FR)
+fr_mul = functools.partial(mont_mul, FR)
+fr_inv = functools.partial(inv, FR)

@@ -1,0 +1,89 @@
+"""Multi-chip sharding: device meshes, data-parallel batches, sharded MSM.
+
+TPU-native replacements for the distributed layer the reference lacks
+(SURVEY.md §2 parallelism inventory: none — single-threaded Rust):
+
+  * ``make_mesh`` — a ("data", "model") jax.sharding.Mesh.
+  * ``shard_batch`` — places the batch (trailing) axis of every limb tensor
+    on the "data" axis; batched verification then scales across chips with
+    zero collectives (embarrassingly parallel proofs).
+  * ``sharded_msm`` — MSM with the *points* axis sharded over "model":
+    each chip computes a local partial MSM, partials are all_gathered over
+    ICI and tree-added locally (group addition is not a psum-able ring op,
+    so gather+add is the collective of choice; the per-chip partial is tiny:
+    3 Jacobian coordinates).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import curve as C
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallelism: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    assert n % model_parallelism == 0
+    grid = np.asarray(devs).reshape(n // model_parallelism, model_parallelism)
+    return Mesh(grid, axis_names)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    """Place the trailing (batch) axis of every leaf on the data mesh axis."""
+
+    def put(leaf):
+        leaf = jnp.asarray(leaf)
+        spec = P(*([None] * (leaf.ndim - 1) + [axis]))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    def put(leaf):
+        return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
+    """MSM with the point axis sharded across ``axis``.
+
+    points: affine stacked tuple (x:(N,16,B), y:(N,16,B), inf:(N,B));
+    scalars: (N,16,B) canonical Fr. N must be divisible by the axis size.
+    Returns a replicated Jacobian point (tuple of (16,B) arrays).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    pspec = (P(axis), P(axis), P(axis))
+    sspec = P(axis)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, sspec),
+        out_specs=(P(), P(), P()),
+    )
+    def run(local_points, local_scalars):
+        part = C.msm(C.G1_OPS, local_points, local_scalars)  # local Jacobian
+        parts = jax.lax.all_gather(part, axis)  # tuple of (ndev, 16, B)
+        ndev = parts[0].shape[0]
+        acc = jax.tree_util.tree_map(lambda a: a[0], parts)
+        for i in range(1, ndev):
+            pi = jax.tree_util.tree_map(lambda a: a[i], parts)
+            acc = C.jacobian_add(C.G1_OPS, acc, pi)
+        return acc
+
+    return run(points, scalars)

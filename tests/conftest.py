@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import pytest  # noqa: E402
 
+from snark_bn254_verifier_tpu.utils.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 @pytest.fixture(scope="session")
 def golden_dir():
