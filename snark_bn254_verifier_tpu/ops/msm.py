@@ -95,9 +95,9 @@ def msm_pippenger(points, scalars, c: int = 8):
         )
         return pt_out, jnp.logical_or(lflag, rflag)
 
-    # scan over the N axis — the LAST axis of every leaf ((16, W, N) points,
-    # (W, N) flags), so axis=-1 is consistent across ranks
-    prefix, _ = jax.lax.associative_scan(combine, (pt, seg_start), axis=-1)
+    # scan over the N axis; flags carried as (1, W, N) so every leaf has the
+    # same rank and the same scan axis index
+    prefix, _ = jax.lax.associative_scan(combine, (pt, seg_start[None]), axis=2)
 
     # bucket extraction: last element of each segment holds the bucket sum
     nxt = jnp.concatenate([dsort[:, 1:], jnp.full((w, 1), -1, dsort.dtype)], axis=1)
@@ -110,7 +110,7 @@ def msm_pippenger(points, scalars, c: int = 8):
         out = out.at[jnp.arange(w)[:, None], slot].set(cc)
         return jnp.moveaxis(out, -1, 0)
 
-    bx, by, bz = (scatter(prefix[0][i]) for i in range(3))
+    bx, by, bz = (scatter(prefix[i]) for i in range(3))
     # drop dump slot; bucket 0 unused (digit 0 contributes nothing)
     buckets = (bx[:, :, :nbuckets], by[:, :, :nbuckets], bz[:, :, :nbuckets])
 
