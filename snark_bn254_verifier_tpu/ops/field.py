@@ -130,6 +130,51 @@ def neg(spec: FieldSpec, a):
     return jnp.where(is_zero(a)[None], zero, sub(spec, zero, a))
 
 
+_use_pallas_cached = None
+
+# When True (set around Pallas kernel tracing via kernel_mode()), field ops
+# avoid constructs Mosaic can't lower or capture: no captured array
+# constants (built from python scalars instead) and a fori_loop-based
+# Montgomery multiply with dynamic limb indexing instead of scatter-adds.
+IN_KERNEL = False
+
+
+class kernel_mode:
+    """Context manager: trace field/tower/pairing code in kernel-safe form."""
+
+    def __enter__(self):
+        global IN_KERNEL
+        self._prev = IN_KERNEL
+        IN_KERNEL = True
+        return self
+
+    def __exit__(self, *exc):
+        global IN_KERNEL
+        IN_KERNEL = self._prev
+        return False
+
+
+def use_pallas() -> bool:
+    """Use the Pallas Montgomery kernel on real TPU backends (the jnp path
+    stays for CPU tests / interpret mode). Override with
+    TPU_BN254_PALLAS=0/1."""
+    global _use_pallas_cached
+    if _use_pallas_cached is None:
+        import os
+
+        env = os.environ.get("TPU_BN254_PALLAS")
+        if env is not None:
+            _use_pallas_cached = env == "1"
+        else:
+            import jax
+
+            try:
+                _use_pallas_cached = jax.devices()[0].platform == "tpu"
+            except Exception:
+                _use_pallas_cached = False
+    return _use_pallas_cached
+
+
 def _mod_vec(spec: FieldSpec, batch_ndim: int):
     """Modulus limbs as a (16, 1, ..) broadcastable device constant."""
     n = jnp.asarray(np.asarray(spec.mod_limbs, dtype=np.uint32))
@@ -147,7 +192,17 @@ def mont_mul(spec: FieldSpec, a, b):
     exact low bits (the per-step m digit) plus one final normalization
     pass. This keeps the traced graph ~7x smaller than a scalar CIOS
     unroll and every op full-width over the limb axis.
+
+    On TPU the Pallas kernel (ops/field_pallas.py) with a VMEM-resident
+    accumulator is used instead — bit-identical semantics, far less HBM
+    traffic than the scatter-based accumulator XLA produces here.
     """
+    if IN_KERNEL:
+        return _mont_mul_kernel_safe(spec, a, b)
+    if use_pallas():
+        from . import field_pallas
+
+        return field_pallas.mont_mul_pallas(spec, a, b)
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -177,6 +232,50 @@ def mont_mul(spec: FieldSpec, a, b):
         carry = s >> np.uint32(_SHIFT)
     top = acc[2 * L] + carry
     return _stack(_cond_sub_mod(spec, t, top))
+
+
+def _mont_mul_kernel_safe(spec: FieldSpec, a, b):
+    """Mosaic-lowerable CIOS: fori_loop over the outer limb index with
+    dynamic indexing (no scatter-adds), modulus limbs as python scalars (no
+    captured array constants). Bit-identical to the XLA paths."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a_rows = [jnp.broadcast_to(a[j], batch_shape) for j in range(L)]
+    b_rows = [jnp.broadcast_to(b[j], batch_shape) for j in range(L)]
+    mod = spec.mod_limbs
+    n0inv = spec.n0inv
+
+    def body(i, t):
+        t = list(t)
+        # Mosaic has no value-level dynamic_slice: select limb i of `a`
+        # with a flat select chain
+        ai = a_rows[0]
+        for j in range(1, L):
+            ai = jnp.where(i == j, a_rows[j], ai)
+        c = np.uint32(0)
+        for j in range(L):
+            s = t[j] + ai * b_rows[j] + c
+            t[j] = s & _MASK
+            c = s >> np.uint32(_SHIFT)
+        s = t[L] + c
+        t[L] = s & _MASK
+        t[L + 1] = s >> np.uint32(_SHIFT)
+        m = (t[0] * n0inv) & _MASK
+        s = t[0] + m * mod[0]
+        c = s >> np.uint32(_SHIFT)
+        for j in range(1, L):
+            s = t[j] + m * mod[j] + c
+            t[j - 1] = s & _MASK
+            c = s >> np.uint32(_SHIFT)
+        s = t[L] + c
+        t[L - 1] = s & _MASK
+        t[L] = t[L + 1] + (s >> np.uint32(_SHIFT))
+        return tuple(t)
+
+    t0 = tuple(jnp.zeros(batch_shape, jnp.uint32) for _ in range(L + 2))
+    t = list(jax.lax.fori_loop(0, L, body, t0))
+    return _stack(_cond_sub_mod(spec, t[:L], t[L]))
 
 
 def mont_sq(spec: FieldSpec, a):
@@ -236,7 +335,14 @@ def from_mont(spec: FieldSpec, a):
 
 
 def _const(np_limbs, like):
-    """Broadcast a (16,) numpy constant against the batch shape of ``like``."""
+    """Broadcast a (16,) numpy constant against the batch shape of ``like``.
+    In kernel mode the array is built from python scalars via broadcast ops
+    (Mosaic forbids captured array constants)."""
+    if IN_KERNEL:
+        batch = like.shape[1:]
+        return jnp.stack(
+            [jnp.full(batch, int(v), jnp.uint32) for v in np.asarray(np_limbs)]
+        )
     c = jnp.asarray(np_limbs, dtype=jnp.uint32)
     return c.reshape((L,) + (1,) * (like.ndim - 1))
 
@@ -245,12 +351,39 @@ def one_mont(spec: FieldSpec, like):
     return jnp.broadcast_to(_const(spec.one_mont_np, like), like.shape)
 
 
+def scalar_bit_of(value: int, shift):
+    """Bit `shift` (traced scalar int32) of a fixed python integer, via
+    selects over its 32-bit words — kernel-safe (no array constants)."""
+    nwords = max(1, (value.bit_length() + 31) // 32)
+    word_idx = shift // 32
+    bit_idx = (shift % 32).astype(jnp.uint32)
+    word = jnp.zeros((), jnp.uint32)
+    for w in range(nwords):
+        word = jnp.where(
+            word_idx == w, jnp.uint32((value >> (32 * w)) & 0xFFFFFFFF), word
+        )
+    return (word >> bit_idx) & np.uint32(1)
+
+
 def pow_const(spec: FieldSpec, a, exponent: int):
     """a^exponent (Montgomery in, Montgomery out) for a fixed Python-int
-    exponent; implemented as a lax.scan over the static bit schedule so the
-    traced graph stays two multiplies regardless of exponent size."""
+    exponent; a scan (XLA) or fori_loop (kernel mode) over the static bit
+    schedule — the traced graph stays two multiplies regardless of
+    exponent size."""
     if exponent == 0:
         return one_mont(spec, a)
+    init = one_mont(spec, a)
+    nbits = exponent.bit_length()
+    if IN_KERNEL:
+
+        def body(i, acc):
+            bit = scalar_bit_of(exponent, np.int32(nbits - 1) - i)
+            acc = mont_sq(spec, acc)
+            acc_mul = mont_mul(spec, acc, a)
+            return select(bit == 1, acc_mul, acc)
+
+        return jax.lax.fori_loop(0, nbits, body, init)
+
     bits = jnp.asarray([int(b) for b in bin(exponent)[2:]], dtype=jnp.uint32)
 
     def body(acc, bit):
@@ -258,8 +391,6 @@ def pow_const(spec: FieldSpec, a, exponent: int):
         acc_mul = mont_mul(spec, acc, a)
         return select(bit.astype(jnp.bool_), acc_mul, acc), None
 
-    init = one_mont(spec, a)
-    # first bit is always 1: start from a directly to save one iteration
     out, _ = jax.lax.scan(body, init, bits)
     return out
 

@@ -179,21 +179,32 @@ def miller_loop(p_affine, q_affine):
     q = (xq, yq)
     t0 = (xq, yq, T.fq2_one(xq.shape[2:]))
     f0 = T.fq12_one(xp.shape[1:])
-    bits = jnp.asarray(_MILLER_BITS, dtype=jnp.uint32)
 
-    def body(carry, bit):
-        f, t = carry
+    def step(f, t, take):
         f = T.fq12_sq(f)
         t, line = _dbl_step(t)
         f = _mul_by_line(f, line, xp, yp)
         t2, line2 = _add_step(t, q)
         f2 = _mul_by_line(f, line2, xp, yp)
-        take = bit.astype(jnp.bool_)
         f = F.select(take, f2, f)
         t = jax.tree_util.tree_map(lambda a_, b_: F.select(take, b_, a_), t, t2)
-        return (f, t), None
+        return f, t
 
-    (f, t), _ = jax.lax.scan(body, (f0, t0), bits)
+    if F.IN_KERNEL:
+        nbits = bn.ATE_LOOP_COUNT.bit_length()
+
+        def body_k(i, carry):
+            bit = F.scalar_bit_of(bn.ATE_LOOP_COUNT, np.int32(nbits - 2) - i)
+            return step(*carry, bit == 1)
+
+        f, t = jax.lax.fori_loop(0, nbits - 1, body_k, (f0, t0))
+    else:
+        bits = jnp.asarray(_MILLER_BITS, dtype=jnp.uint32)
+
+        def body(carry, bit):
+            return step(*carry, bit.astype(jnp.bool_)), None
+
+        (f, t), _ = jax.lax.scan(body, (f0, t0), bits)
 
     q1 = _g2_frobenius_affine(q, 1)
     q2 = _g2_frobenius_affine(q, 2)
@@ -232,6 +243,18 @@ def final_exponentiation(f):
 
     bases = [f] + [T.fq12_frobenius(f, i) for i in range(1, len(_HARD_DIGITS))]
     one = T.fq12_one(f.shape[2:])
+    if F.IN_KERNEL:
+        # kernel mode: conditional multiplies per digit bit (no gathers from
+        # captured tables)
+        def body_k(i, acc):
+            shift = np.int32(_NBITS - 1) - i
+            acc = T.fq12_cyclotomic_sq(acc)
+            for digit, base in zip(_HARD_DIGITS, bases):
+                bit = F.scalar_bit_of(digit, shift)
+                acc = F.select(bit == 1, T.fq12_mul(acc, base), acc)
+            return acc
+
+        return jax.lax.fori_loop(0, _NBITS, body_k, one)
     # subset-product table built with a scan (one fq12_mul in the graph):
     # entry[mask] = prod of bases[i] over set bits of mask
     ntbl = 1 << len(bases)
@@ -272,13 +295,26 @@ def final_exponentiation(f):
 
 
 def _miller_product(pairs_p, pairs_q):
-    """vmapped Miller loops over the pair axis, reduced to one Fq12."""
-    fs = jax.vmap(miller_loop, in_axes=0, out_axes=0)(pairs_p, pairs_q)
+    """Miller loops over the pair axis, reduced to one Fq12.
+
+    Rather than vmapping, the pair axis is folded into the broadcast batch
+    of the limb tensors ((n,16,*b) -> (16,n,*b)) — every field op broadcasts
+    over trailing axes anyway, and this keeps Pallas kernels out of vmap.
+    """
+    px = jnp.moveaxis(pairs_p[0], 0, 1)   # (16, n, *b)
+    py = jnp.moveaxis(pairs_p[1], 0, 1)
+    pinf = pairs_p[2]                      # (n, *b)
+    qx = jnp.moveaxis(pairs_q[0], 0, 2)   # (16, 2, n, *b)
+    qy = jnp.moveaxis(pairs_q[1], 0, 2)
+    qinf = pairs_q[2]
+    f = miller_loop((px, py, pinf), (qx, qy, qinf))  # (16, 12, n, *b)
 
     def prod_body(acc, fi):
         return T.fq12_mul(acc, fi), None
 
-    acc, _ = jax.lax.scan(prod_body, fs[0], fs[1:])
+    first = f[:, :, 0]
+    rest = jnp.moveaxis(f[:, :, 1:], 2, 0)  # (n-1, 16, 12, *b)
+    acc, _ = jax.lax.scan(prod_body, first, rest)
     return acc
 
 
@@ -314,8 +350,18 @@ final_exponentiation_jit = jax.jit(final_exponentiation)
 
 
 def pairing_hostcall(p_affine, q_affine):
+    if F.use_pallas():
+        from . import pairing_pallas as PP
+
+        pp = tuple(jnp.asarray(x)[None] for x in p_affine)
+        qq = tuple(jnp.asarray(x)[None] for x in q_affine)
+        return PP.final_exp_mega(PP.miller_product_mega(pp, qq))
     return final_exponentiation_jit(miller_loop_jit(p_affine, q_affine))
 
 
 def pairing_batch_hostcall(pairs_p, pairs_q):
+    if F.use_pallas():
+        from . import pairing_pallas as PP
+
+        return PP.final_exp_mega(PP.miller_product_mega(pairs_p, pairs_q))
     return final_exponentiation_jit(miller_product_jit(pairs_p, pairs_q))

@@ -39,7 +39,17 @@ FQ = F.FQ
 
 
 def pack_const(coeffs, like):
-    """List of C Fq ints -> (16, C, 1...) broadcastable device constant."""
+    """List of C Fq ints -> (16, C, 1...) broadcastable device constant.
+    Kernel mode builds it from python scalars (no captured arrays)."""
+    if F.IN_KERNEL:
+        batch = like.shape[2:]
+        cols = []
+        for c in coeffs:
+            limbs = FQ.pack_scalar(c)
+            cols.append(
+                jnp.stack([jnp.full(batch, int(v), jnp.uint32) for v in limbs])
+            )
+        return jnp.stack(cols, axis=1)  # (16, C, *batch)
     arr = np.stack([FQ.pack_scalar(c) for c in coeffs], axis=1)
     extra = (1,) * (like.ndim - 2)
     return jnp.asarray(arr).reshape((16, len(coeffs)) + extra)
@@ -59,7 +69,13 @@ def _mul_many(a_parts, b_parts):
 
 def fq2_mul_many(pairs):
     """Karatsuba Fq2 products, all flattened into a single width-3k
-    Montgomery call. pairs: list of ((16,2,*b), (16,2,*b))."""
+    Montgomery call. pairs: list of ((16,2,*b), (16,2,*b)).
+
+    Kernel mode multiplies pair-by-pair instead (width 3 each): inside a
+    Pallas kernel fusion is free and VMEM is the binding constraint, so
+    small temporaries beat wide stacking."""
+    if F.IN_KERNEL:
+        return [_fq2_mul_one(a, b) for a, b in pairs]
     k = len(pairs)
     a = jnp.stack([p[0] for p in pairs], axis=1)  # (16, k, 2, *b)
     b = jnp.stack([p[1] for p in pairs], axis=1)
@@ -78,6 +94,18 @@ def fq2_mul_many(pairs):
 # ---------------------------------------------------------------------------
 # Fq2
 # ---------------------------------------------------------------------------
+
+
+def _fq2_mul_one(a, b):
+    """Single Karatsuba Fq2 product as one width-3 Montgomery call."""
+    sa = F.fq_add(a[:, 0], a[:, 1])
+    sb = F.fq_add(b[:, 0], b[:, 1])
+    A = jnp.stack([a[:, 0], a[:, 1], sa], axis=1)
+    B = jnp.stack([b[:, 0], b[:, 1], sb], axis=1)
+    t = F.fq_mul(A, B)
+    c0 = F.fq_sub(t[:, 0], t[:, 1])
+    c1 = F.fq_sub(t[:, 2], F.fq_add(t[:, 0], t[:, 1]))
+    return jnp.stack([c0, c1], axis=1)
 
 
 def fq2_parts(a):
@@ -162,9 +190,10 @@ def fq2_zero(batch_shape):
 
 
 def fq2_one(batch_shape):
-    z = fq2_zero(batch_shape)
-    onem = F._const(FQ.one_mont_np, z[:, 0])
-    return z.at[:, 0].set(jnp.broadcast_to(onem, z[:, 0].shape))
+    batch_shape = tuple(batch_shape)
+    z = jnp.zeros((16,) + batch_shape, jnp.uint32)
+    onem = jnp.broadcast_to(F._const(FQ.one_mont_np, z), z.shape)
+    return jnp.stack([onem, z], axis=1)
 
 
 def fq2_pow_const(a, exponent: int):
@@ -287,9 +316,9 @@ def fq6_zero(batch_shape):
 
 
 def fq6_one(batch_shape):
-    z = fq6_zero(batch_shape)
-    onem = F._const(FQ.one_mont_np, z[:, 0])
-    return z.at[:, 0].set(jnp.broadcast_to(onem, z[:, 0].shape))
+    one2 = fq2_one(batch_shape)
+    z2 = fq2_zero(batch_shape)
+    return jnp.concatenate([one2, z2, z2], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -345,9 +374,9 @@ def fq12_zero(batch_shape):
 
 
 def fq12_one(batch_shape):
-    z = fq12_zero(batch_shape)
-    onem = F._const(FQ.one_mont_np, z[:, 0])
-    return z.at[:, 0].set(jnp.broadcast_to(onem, z[:, 0].shape))
+    one2 = fq2_one(batch_shape)
+    z2 = fq2_zero(batch_shape)
+    return jnp.concatenate([one2] + [z2] * 5, axis=1)
 
 
 def fq12_select(cond, a, b):
@@ -387,10 +416,12 @@ def fq12_frobenius(a, power: int = 1):
     prods = fq2_mul_many(
         [(c, jnp.broadcast_to(k, c.shape)) for c, k in zip(coeffs, consts)]
     )
-    out = jnp.zeros_like(a)
-    for i, (h, j) in enumerate(_WB_ORDER):
-        out = out.at[:, 6 * h + 2 * j : 6 * h + 2 * j + 2].set(prods[i])
-    return out
+    # reassemble by component order (kernel-safe: concat, no scatters):
+    # component slot 6h+2j holds w-basis coeff i where (h, j) = _WB_ORDER[i]
+    slot_to_wb = {6 * h + 2 * j: i for i, (h, j) in enumerate(_WB_ORDER)}
+    return jnp.concatenate(
+        [prods[slot_to_wb[slot]] for slot in range(0, 12, 2)], axis=1
+    )
 
 
 # --- cyclotomic squaring ---------------------------------------------------

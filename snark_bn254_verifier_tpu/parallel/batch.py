@@ -133,12 +133,31 @@ def _g2_on_curve_jit(affine_g2):
     return C.is_on_curve_affine(C.G2_OPS, affine_g2)
 
 
+def _msm_affine(points, scalars):
+    """Batched small-n MSM -> affine, via the mega Pallas kernel on TPU or
+    the jitted XLA scan elsewhere."""
+    if F.use_pallas():
+        from ..ops import pairing_pallas as PP
+
+        return PP.msm_affine_mega(points, jnp.asarray(scalars))
+    return _msm_kernel_b(points[0].shape[0], points, scalars)
+
+
 def _groth16_pipeline(n_inputs, k_points, scalars, ar, bs, krs, gamma_g2,
                       neg_delta_g2, alpha_beta, valid):
     """Same computation as _groth16_kernel but composed from separately
     jitted stages so the persistent compile cache is shared across batch
     sizes and entry points."""
-    prepared = _g16_prepare_jit(n_inputs, k_points, scalars)
+    if F.use_pallas():
+        # fold k0 in with scalar 1: prepared = 1*k0 + sum inputs_i * k_{i+1}
+        b = k_points[0].shape[-1]
+        one_row = np.broadcast_to(
+            F.FR.pack_scalar(1, mont=False)[:, None], (16, b)
+        )
+        sc_full = np.concatenate([one_row[None], np.asarray(scalars)], axis=0)
+        prepared = _msm_affine(k_points, sc_full)
+    else:
+        prepared = _g16_prepare_jit(n_inputs, k_points, scalars)
     prepared = jax.tree_util.tree_map(np.asarray, prepared)
     pairs_p = _stack_affine_g1([ar, prepared, krs])
     pairs_q = _stack_affine_g1([bs, gamma_g2, neg_delta_g2])
@@ -279,9 +298,8 @@ def _plonk_final_kernel(combo_points, combo_scalars, quot_points, quot_scalars,
                         g2_0, g2_1, valid):
     """Fused KZG batch check: e(combo, G2) * e(-(quot), [tau]G2) == 1,
     composed from cached jit stages."""
-    n_combo = combo_points[0].shape[0]
-    combo = _msm_kernel_b(n_combo, combo_points, combo_scalars)
-    quot = _msm_kernel_b(2, quot_points, quot_scalars)
+    combo = _msm_affine(combo_points, combo_scalars)
+    quot = _msm_affine(quot_points, quot_scalars)
     neg_quot = _negate_affine_y(quot)
     combo = jax.tree_util.tree_map(np.asarray, combo)
     neg_quot = jax.tree_util.tree_map(np.asarray, neg_quot)
@@ -354,7 +372,7 @@ class PlonkBatchVerifier:
             ],
             axis=0,
         )
-        lin_aff = _msm_kernel_b(n_lin, lin_pts, lin_sc)
+        lin_aff = _msm_affine(lin_pts, lin_sc)
         lin_points_host = _unpack_affine(lin_aff)
 
         # host: fold gamma (binds the digest bytes), randomizers
