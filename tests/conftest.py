@@ -7,7 +7,10 @@ the real-TPU path is exercised by bench.py / the driver.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): under the driver, JAX_PLATFORMS=axon points at a
+# remote TPU tunnel, where per-op round trips make eager tests pathologically
+# slow. The suite always runs on the virtual CPU mesh; bench.py uses the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
