@@ -214,12 +214,16 @@ def jacobian_neg(ops: CurveOps, p):
 
 def scalar_bits(scalar_limbs, total_bits: int = 256):
     """(16, *batch) canonical Fr limbs -> (total_bits, *batch) bit array,
-    MSB first."""
-    bits = []
-    for i in range(total_bits - 1, -1, -1):
-        limb = scalar_limbs[i // LIMB_BITS]
-        bits.append((limb >> jnp.uint32(i % LIMB_BITS)) & jnp.uint32(1))
-    return jnp.stack(bits, axis=0)
+    MSB first. Vectorized (4 ops) rather than a 256-op unroll."""
+    assert total_bits % LIMB_BITS == 0
+    nlimbs = total_bits // LIMB_BITS
+    shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32).reshape(
+        (1, LIMB_BITS) + (1,) * (scalar_limbs.ndim - 1)
+    )
+    # (nlimbs, LIMB_BITS, *batch): bit b of limb l = bit l*LIMB_BITS+b
+    bits = (scalar_limbs[:nlimbs, None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape((total_bits,) + scalar_limbs.shape[1:])
+    return bits[::-1]  # MSB first
 
 
 def scalar_mul(ops: CurveOps, affine_point, scalar_limbs, num_bits: int = 256):
@@ -243,8 +247,13 @@ def scalar_mul(ops: CurveOps, affine_point, scalar_limbs, num_bits: int = 256):
 
 def _inf_point(ops: CurveOps, affine_point):
     x, y, _ = affine_point
-    zz = ops.zero(x)
-    return (ops.one(x), ops.one(x), zz)
+    # + x*0 / y*0: numerically identity, but makes the identity point
+    # inherit the inputs' varying mesh axes so it is a valid scan carry
+    # init inside shard_map
+    vz = (x + y) * jnp.uint32(0)
+    zz = ops.zero(x) + vz
+    one = ops.one(x) + vz
+    return (one, one, zz)
 
 
 def msm(ops: CurveOps, points, scalars, num_bits: int = 256):
@@ -254,7 +263,6 @@ def msm(ops: CurveOps, points, scalars, num_bits: int = 256):
       (x:(N,16,*b), y:(N,16,*b), inf:(N,*b)); scalars: (N,16,*b) canonical.
     Cost: num_bits doublings + num_bits*N conditional mixed adds.
     """
-    n = jax.tree_util.tree_leaves(points)[0].shape[0]
     bits = jax.vmap(lambda s: scalar_bits(s, num_bits))(scalars)  # (N, bits, *b)
     bits = jnp.moveaxis(bits, 1, 0)  # (bits, N, *b)
     first = jax.tree_util.tree_map(lambda a: a[0], points)
@@ -262,13 +270,23 @@ def msm(ops: CurveOps, points, scalars, num_bits: int = 256):
 
     def body(acc, step_bits):
         acc = jacobian_double(ops, acc)
-        for j in range(n):
-            pj = jax.tree_util.tree_map(lambda a: a[j], points)
+
+        # inner scan over the point axis: ONE conditional mixed-add in the
+        # traced graph regardless of N (the unrolled version made XLA:CPU
+        # compile time linear in N)
+        def add_one(acc, pj_bit):
+            pj, take = pj_bit
             cand = jacobian_add_mixed(ops, acc, pj)
-            take = step_bits[j].astype(jnp.bool_)
-            acc = jax.tree_util.tree_map(
-                lambda a_, b_: _sel(ops, take, b_, a_), acc, cand
+            return (
+                jax.tree_util.tree_map(
+                    lambda a_, b_: _sel(ops, take.astype(jnp.bool_), b_, a_),
+                    acc,
+                    cand,
+                ),
+                None,
             )
+
+        acc, _ = jax.lax.scan(add_one, acc, (points, step_bits))
         return acc, None
 
     out, _ = jax.lax.scan(body, acc0, bits)

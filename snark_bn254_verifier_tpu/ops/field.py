@@ -81,6 +81,22 @@ def _cond_sub_mod(spec: FieldSpec, t: List, extra):
     """Given limbs t[0..L) plus a 0/1 overflow word ``extra``, return
     t - modulus if t >= modulus (including the overflow word), else t."""
     n = spec.mod_limbs
+    if not IN_KERNEL:
+        x = t if not isinstance(t, list) else _stack(t)
+        nv = _mod_vec(spec, x.ndim - 1)
+
+        def bsub(bw, inp):
+            tj, nj = inp
+            s = tj - nj - bw
+            return s >> np.uint32(31), s & _MASK
+
+        borrow, d = jax.lax.scan(
+            bsub,
+            x[0] * np.uint32(0),
+            (x, jnp.broadcast_to(nv, x.shape)),
+        )
+        do_sub = jnp.logical_or(extra.astype(jnp.bool_), borrow == 0)
+        return _unstack(jnp.where(do_sub[None], d, x))
     borrow = None
     d = []
     for j in range(L):
@@ -94,6 +110,20 @@ def _cond_sub_mod(spec: FieldSpec, t: List, extra):
 
 def add(spec: FieldSpec, a, b):
     """(a + b) mod modulus."""
+    if not IN_KERNEL:
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (L,) + batch)
+        b = jnp.broadcast_to(b, (L,) + batch)
+
+        def cadd(c, inp):
+            s = inp[0] + inp[1] + c
+            return s >> np.uint32(_SHIFT), s & _MASK
+
+        vz = (a[0] + b[0]) * np.uint32(0)
+        carry, t = jax.lax.scan(cadd, vz, (a, b))
+        return _stack(_cond_sub_mod(spec, t, carry))
     al, bl = _unstack(a), _unstack(b)
     t = []
     carry = np.uint32(0)
@@ -106,6 +136,28 @@ def add(spec: FieldSpec, a, b):
 
 def sub(spec: FieldSpec, a, b):
     """(a - b) mod modulus."""
+    if not IN_KERNEL:
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        a = jnp.broadcast_to(a, (L,) + batch)
+        b = jnp.broadcast_to(b, (L,) + batch)
+        nv = jnp.broadcast_to(_mod_vec(spec, len(batch)), (L,) + batch)
+
+        def bsub(bw, inp):
+            s = inp[0] - inp[1] - bw
+            return s >> np.uint32(31), s & _MASK
+
+        vz = (a[0] + b[0]) * np.uint32(0)
+        borrow, d = jax.lax.scan(bsub, vz, (a, b))
+        need = borrow.astype(jnp.bool_)
+
+        def cadd(c, inp):
+            s = inp[0] + jnp.where(need, inp[1], np.uint32(0)) + c
+            return s >> np.uint32(_SHIFT), s & _MASK
+
+        _, out = jax.lax.scan(cadd, vz, (d, nv))
+        return out
     al, bl = _unstack(a), _unstack(b)
     n = spec.mod_limbs
     d = []
@@ -184,18 +236,22 @@ def _mod_vec(spec: FieldSpec, batch_ndim: int):
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product a * b * R^-1 mod modulus (R = 2^256).
 
-    Vectorized column accumulation with deferred carries: the schoolbook
-    product and the Montgomery reduction both accumulate 16-bit limb
-    products into 2L+1 uint32 columns (each column sums < 64 terms of
-    < 2^16, so the maximum column value stays below 2^22 — far from uint32
-    overflow), and carries are only resolved where the algorithm needs
-    exact low bits (the per-step m digit) plus one final normalization
-    pass. This keeps the traced graph ~7x smaller than a scalar CIOS
-    unroll and every op full-width over the limb axis.
+    CIOS as a ``lax.scan`` over the 16 limbs of ``a`` with deferred column
+    carries: the running state is L+1 uint32 columns, each the sum of < 64
+    16-bit terms (so always < 2^22, far from overflow); one step absorbs
+    a_i * b, extracts the Montgomery digit m from the exact low 16 bits of
+    column 0, absorbs m * n and shifts the window down one limb. Carries
+    are only materialized for the consumed column, plus one final
+    normalization scan.
+
+    The scan keeps the traced graph ~20 ops per step regardless of limb
+    count — no scatter/gather anywhere — which is what makes the XLA CPU
+    path compile in milliseconds instead of minutes (XLA:CPU's LLVM
+    codegen is superlinear in fused scatter chains).
 
     On TPU the Pallas kernel (ops/field_pallas.py) with a VMEM-resident
     accumulator is used instead — bit-identical semantics, far less HBM
-    traffic than the scatter-based accumulator XLA produces here.
+    traffic.
     """
     if IN_KERNEL:
         return _mont_mul_kernel_safe(spec, a, b)
@@ -206,32 +262,43 @@ def mont_mul(spec: FieldSpec, a, b):
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = jnp.zeros((2 * L + 1,) + batch_shape, jnp.uint32)
-    # product phase: acc[i+j] += lo(a_i*b_j), acc[i+j+1] += hi(a_i*b_j)
-    for i in range(L):
-        p = a[i][None] * b  # (16, *batch)
-        acc = acc.at[i : i + L].add(p & _MASK)
-        acc = acc.at[i + 1 : i + L + 1].add(p >> np.uint32(_SHIFT))
-    # reduction phase: zero columns 0..L-1, absorbing ripple carries
+    a = jnp.broadcast_to(a, (L,) + batch_shape)
+    b = jnp.broadcast_to(b, (L,) + batch_shape)
     n_vec = _mod_vec(spec, len(batch_shape))
     n0inv = spec.n0inv
-    for i in range(L):
-        if i > 0:
-            acc = acc.at[i].add(acc[i - 1] >> np.uint32(_SHIFT))
-        m = (acc[i] * n0inv) & _MASK
-        p = m[None] * n_vec
-        acc = acc.at[i : i + L].add(p & _MASK)
-        acc = acc.at[i + 1 : i + L + 1].add(p >> np.uint32(_SHIFT))
-    acc = acc.at[L].add(acc[L - 1] >> np.uint32(_SHIFT))
-    # normalize the result columns L..2L
-    t = []
-    carry = np.uint32(0)
-    for j in range(L, 2 * L):
-        s = acc[j] + carry
-        t.append(s & _MASK)
-        carry = s >> np.uint32(_SHIFT)
-    top = acc[2 * L] + carry
-    return _stack(_cond_sub_mod(spec, t, top))
+    zrow = jnp.zeros((1,) + batch_shape, jnp.uint32)
+
+    def body(t, ai):
+        p = ai[None] * b  # (L, *batch), each product < 2^32 exactly
+        t = (
+            t
+            + jnp.concatenate([p & _MASK, zrow], 0)
+            + jnp.concatenate([zrow, p >> np.uint32(_SHIFT)], 0)
+        )
+        m = (t[0] * n0inv) & _MASK
+        q = m[None] * n_vec
+        t = (
+            t
+            + jnp.concatenate([q & _MASK, zrow], 0)
+            + jnp.concatenate([zrow, q >> np.uint32(_SHIFT)], 0)
+        )
+        carry = t[0] >> np.uint32(_SHIFT)  # column 0 is ≡ 0 mod 2^16 now
+        t = jnp.concatenate([(t[1] + carry)[None], t[2:], zrow], 0)
+        return t, None
+
+    # zeros derived from BOTH inputs so the carry inherits their varying
+    # mesh axes (shard_map vma rules reject an unvarying init carry)
+    vz = (a[0] + b[0]) * np.uint32(0)
+    t0 = jnp.zeros((L + 1,) + batch_shape, jnp.uint32) + vz
+    t, _ = jax.lax.scan(body, t0, a)
+
+    # normalize columns (each < 2^22) to 16-bit limbs + overflow word
+    def ripple(c, col):
+        s = col + c
+        return s >> np.uint32(_SHIFT), s & _MASK
+    top_extra, limbs = jax.lax.scan(ripple, vz, t[:L])
+    extra = t[L] + top_extra
+    return _stack(_cond_sub_mod(spec, _unstack(limbs), extra))
 
 
 def _mont_mul_kernel_safe(spec: FieldSpec, a, b):

@@ -65,16 +65,22 @@ def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
     scalars: (N,16,B) canonical Fr. N must be divisible by the axis size.
     Returns a replicated Jacobian point (tuple of (16,B) arrays).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     pspec = (P(axis), P(axis), P(axis))
     sspec = P(axis)
 
+    # check_vma=False: the curve kernels initialize scan carries from
+    # device constants (identity points, mont(1) tables) that are
+    # legitimately unvarying over the mesh; the varying-manual-axes type
+    # check would reject those inits even though the computation is
+    # correct, and the all_gather below makes the output replicated.
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(pspec, sspec),
         out_specs=(P(), P(), P()),
+        check_vma=False,
     )
     def run(local_points, local_scalars):
         part = C.msm(C.G1_OPS, local_points, local_scalars)  # local Jacobian
@@ -86,4 +92,6 @@ def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
             acc = C.jacobian_add(C.G1_OPS, acc, pi)
         return acc
 
-    return run(points, scalars)
+    # jit the whole sharded program: eager shard_map would dispatch the
+    # traced body op-by-op (hundreds of tiny compiles)
+    return jax.jit(run)(points, scalars)
