@@ -309,12 +309,45 @@ def _plonk_final_kernel(combo_points, combo_scalars, quot_points, quot_scalars,
     return _is_one_masked(gt, valid)
 
 
+def _batch_inv_mod_r(values: Sequence[int]) -> List[Optional[int]]:
+    """Montgomery-trick batch inversion mod R with ONE modexp total.
+
+    Zero entries yield None (the caller marks that lane invalid) without
+    poisoning the rest of the batch. This is the host-side analogue of the
+    reference's batch_invert (plonk/verify.rs:364-396), amortized across
+    every lane of the batch rather than per proof.
+    """
+    n = len(values)
+    safe = [v % R if v % R != 0 else 1 for v in values]
+    prefix = [1] * (n + 1)
+    for i, v in enumerate(safe):
+        prefix[i + 1] = prefix[i] * v % R
+    inv_all = pow(prefix[n], R - 2, R)
+    out: List[Optional[int]] = [None] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % R if values[i] % R != 0 else None
+        inv_all = inv_all * safe[i] % R
+    return out
+
+
 class PlonkBatchVerifier:
     """VK-specialized batched PlonK verifier (full gnark semantics incl.
     BSB22; per-lane failure isolation)."""
 
     def __init__(self, vk_bytes: bytes):
         self.vk = ser.load_plonk_verifying_key_from_bytes(vk_bytes)
+        vk = self.vk
+        # VK-constant powers of the domain generator, hoisted out of the
+        # per-lane loop: w^i for the public-input Lagrange evaluations
+        # (plonk/verify.rs:116-137) and w^(nb_public+cci) for BSB22
+        # (plonk/verify.rs:147-152).
+        self._w_pows = [1]
+        for _ in range(max(vk.nb_public_variables, 1) - 1):
+            self._w_pows.append(self._w_pows[-1] * vk.generator % R)
+        self._cci_wpow = [
+            pow(vk.generator, vk.nb_public_variables + cci, R)
+            for cci in vk.commitment_constraint_indexes
+        ]
 
     def verify_batch(
         self,
@@ -340,15 +373,43 @@ class PlonkBatchVerifier:
                 valid[i] = False
                 parsed.append(None)
 
-        # host: challenges + scalar algebra per lane (reference logic,
-        # plonk/verify.rs:62-279)
-        lanes = []
+        # host: challenges + scalar algebra (reference logic,
+        # plonk/verify.rs:62-279), vectorized across lanes: pass 1 derives
+        # the Fiat-Shamir challenges and collects every denominator, ONE
+        # Montgomery-trick batch inversion serves the whole batch, pass 2
+        # finishes the Fr algebra with multiplications only.
+        chs: List[Optional[dict]] = []
+        denoms: List[int] = []
         for i, proof in enumerate(parsed):
             if proof is None:
+                chs.append(None)
+                continue
+            try:
+                ch = self._lane_challenges(proof, public_inputs[i])
+            except errors.VerifierError:
+                valid[i] = False
+                chs.append(None)
+                continue
+            chs.append(ch)
+            denoms.extend(ch["denoms"])
+        invs = _batch_inv_mod_r(denoms)
+        lanes = []
+        pos = 0
+        for i, ch in enumerate(chs):
+            if ch is None:
+                lanes.append(None)
+                continue
+            k = len(ch["denoms"])
+            lane_invs = invs[pos : pos + k]
+            pos += k
+            if any(v is None for v in lane_invs):
+                valid[i] = False  # zeta hit a domain point (InverseNotFound)
                 lanes.append(None)
                 continue
             try:
-                lanes.append(self._lane_scalars(proof, public_inputs[i]))
+                lanes.append(
+                    self._lane_finish(parsed[i], public_inputs[i], ch, lane_invs)
+                )
             except errors.VerifierError:
                 valid[i] = False
                 lanes.append(None)
@@ -433,7 +494,9 @@ class PlonkBatchVerifier:
 
     # -- host scalar work (reference plonk/verify.rs:62-279 semantics) ------
 
-    def _lane_scalars(self, proof: ser.PlonkProof, inputs: Sequence[int]):
+    def _lane_challenges(self, proof: ser.PlonkProof, inputs: Sequence[int]):
+        """Pass 1: Fiat-Shamir challenges + every denominator this lane
+        needs inverted (batch-inverted across lanes by the caller)."""
         vk = self.vk
         fs = Transcript([GAMMA, BETA, ALPHA, ZETA])
         plonk_mod.bind_public_data(fs, GAMMA, vk, inputs)
@@ -444,30 +507,46 @@ class PlonkBatchVerifier:
         )
         zeta = plonk_mod.derive_randomness(fs, ZETA, list(proof.h))
 
-        n = vk.size
-        zeta_n = pow(zeta, n, R)
+        # zeta^n: vk.size is the domain size (a power of two), so this is
+        # ~log2(n) squarings — cheap next to a 254-bit inversion exponent.
+        zeta_n = pow(zeta, vk.size, R)
+        denoms = [(zeta - 1) % R]
+        denoms.extend((zeta - w) % R for w in self._w_pows[: len(inputs)])
+        denoms.extend((zeta - w) % R for w in self._cci_wpow)
+        return {
+            "gamma": gamma,
+            "beta": beta,
+            "alpha": alpha,
+            "zeta": zeta,
+            "zeta_n": zeta_n,
+            "denoms": denoms,
+        }
+
+    def _lane_finish(
+        self,
+        proof: ser.PlonkProof,
+        inputs: Sequence[int],
+        ch: dict,
+        invs: Sequence[int],
+    ):
+        """Pass 2: the remaining Fr algebra, multiplications only."""
+        vk = self.vk
+        gamma, beta, alpha, zeta = ch["gamma"], ch["beta"], ch["alpha"], ch["zeta"]
+        zeta_n = ch["zeta_n"]
         zh_zeta = (zeta_n - 1) % R
-        zm1 = (zeta - 1) % R
-        if zm1 == 0:
-            raise errors.InverseNotFoundError()
-        lagrange_one = pow(zm1, R - 2, R) * zh_zeta % R * vk.size_inv % R
+        lagrange_one = invs[0] * zh_zeta % R * vk.size_inv % R
 
         pi = 0
-        accw = 1
-        for w in inputs:
-            li = zh_zeta * pow((zeta - accw) % R, R - 2, R) % R * vk.size_inv % R * accw % R
+        for j, w in enumerate(inputs):
+            li = zh_zeta * invs[1 + j] % R * vk.size_inv % R * self._w_pows[j] % R
             pi = (pi + li * (w % R)) % R
-            accw = accw * vk.generator % R
         htf = WrappedHashToField(plonk_mod.BSB22_DST)
-        for i, cci in enumerate(vk.commitment_constraint_indexes):
+        base = 1 + len(inputs)
+        for i, w_pow_i in enumerate(self._cci_wpow):
             htf.write(ser.g1_to_bytes(proof.bsb22_commitments[i]))
             hashed = int.from_bytes(htf.sum(), "big") % R
             htf.reset()
-            w_pow_i = pow(vk.generator, vk.nb_public_variables + cci, R)
-            den = (zeta - w_pow_i) % R
-            if den == 0:
-                raise errors.InverseNotFoundError()
-            lagrange = zh_zeta * w_pow_i % R * pow(den, R - 2, R) % R * vk.size_inv % R
+            lagrange = zh_zeta * w_pow_i % R * invs[base + i] % R * vk.size_inv % R
             pi = (pi + lagrange * hashed) % R
 
         cv = proof.batched_proof.claimed_values
@@ -491,7 +570,7 @@ class PlonkBatchVerifier:
         _s2 = (-(_s2 * alpha)) % R
         coeff_z = (alpha_sq_l1 + _s2) % R
         rl = l * r_ % R
-        zeta_n2 = pow(zeta, n + 2, R)
+        zeta_n2 = zeta_n * zeta % R * zeta % R
         zn2_zh = (-(zeta_n2 * zh_zeta)) % R
         zn2sq_zh = (-(zeta_n2 * zeta_n2 % R * zh_zeta)) % R
         zh_neg = (-zh_zeta) % R
