@@ -214,16 +214,17 @@ def jacobian_neg(ops: CurveOps, p):
 
 def scalar_bits(scalar_limbs, total_bits: int = 256):
     """(16, *batch) canonical Fr limbs -> (total_bits, *batch) bit array,
-    MSB first. Vectorized (4 ops) rather than a 256-op unroll."""
-    assert total_bits % LIMB_BITS == 0
-    nlimbs = total_bits // LIMB_BITS
+    MSB first. Vectorized (4 ops) rather than a 256-op unroll. Arbitrary
+    ``total_bits`` are supported (truncated scalars for windowed/GLV
+    variants): bits are extracted limb-wise and the low ``total_bits`` kept."""
+    nlimbs = -(-total_bits // LIMB_BITS)
     shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32).reshape(
         (1, LIMB_BITS) + (1,) * (scalar_limbs.ndim - 1)
     )
     # (nlimbs, LIMB_BITS, *batch): bit b of limb l = bit l*LIMB_BITS+b
     bits = (scalar_limbs[:nlimbs, None] >> shifts) & jnp.uint32(1)
-    bits = bits.reshape((total_bits,) + scalar_limbs.shape[1:])
-    return bits[::-1]  # MSB first
+    bits = bits.reshape((nlimbs * LIMB_BITS,) + scalar_limbs.shape[1:])
+    return bits[:total_bits][::-1]  # MSB first
 
 
 def scalar_mul(ops: CurveOps, affine_point, scalar_limbs, num_bits: int = 256):

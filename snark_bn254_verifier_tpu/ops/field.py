@@ -78,9 +78,13 @@ FR = FieldSpec(bn.R, "fr")
 
 
 def _cond_sub_mod(spec: FieldSpec, t: List, extra):
-    """Given limbs t[0..L) plus a 0/1 overflow word ``extra``, return
-    t - modulus if t >= modulus (including the overflow word), else t."""
-    n = spec.mod_limbs
+    """Given limbs t[0..L) plus an overflow word ``extra``, return
+    t - modulus if t >= modulus, else t.
+
+    ``extra`` may be any uint32 whose truthiness means "the full value is
+    >= 2^256" (mont_mul passes t[L] + top_extra, provably 0 or 1 for BN254
+    moduli); the result is guaranteed < 2*modulus, so one conditional
+    subtraction fully reduces."""
     if not IN_KERNEL:
         x = t if not isinstance(t, list) else _stack(t)
         nv = _mod_vec(spec, x.ndim - 1)
@@ -97,6 +101,7 @@ def _cond_sub_mod(spec: FieldSpec, t: List, extra):
         )
         do_sub = jnp.logical_or(extra.astype(jnp.bool_), borrow == 0)
         return _unstack(jnp.where(do_sub[None], d, x))
+    n = spec.mod_limbs
     borrow = None
     d = []
     for j in range(L):

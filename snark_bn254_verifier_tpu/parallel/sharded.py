@@ -70,21 +70,26 @@ def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
     pspec = (P(axis), P(axis), P(axis))
     sspec = P(axis)
 
-    # check_vma=False: the curve kernels initialize scan carries from
-    # device constants (identity points, mont(1) tables) that are
-    # legitimately unvarying over the mesh; the varying-manual-axes type
-    # check would reject those inits even though the computation is
-    # correct, and the all_gather below makes the output replicated.
+    # check_vma stays ON (the default): the field/curve kernels derive
+    # their scan-carry inits from the inputs (`vz = (a+b)*0` in
+    # ops/field.py mont_mul/add/sub and ops/curve.py _inf_point) exactly so
+    # that carries inherit the inputs' varying mesh axes and pass the
+    # varying-manual-axes type check. The shard_map emits per-device
+    # partials (out_specs=P(axis) — honestly typed as varying); the
+    # Jacobian tree-reduction happens OUTSIDE the manual region, where
+    # XLA's sharding propagation inserts the gather over ICI itself.
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(pspec, sspec),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
+        out_specs=(P(axis), P(axis), P(axis)),
     )
     def run(local_points, local_scalars):
         part = C.msm(C.G1_OPS, local_points, local_scalars)  # local Jacobian
-        parts = jax.lax.all_gather(part, axis)  # tuple of (ndev, 16, B)
+        return jax.tree_util.tree_map(lambda a: a[None], part)  # (1, 16, B)
+
+    def full(pts, scs):
+        parts = run(pts, scs)  # leaves (ndev, 16, B), sharded over `axis`
         ndev = parts[0].shape[0]
         acc = jax.tree_util.tree_map(lambda a: a[0], parts)
         for i in range(1, ndev):
@@ -94,4 +99,4 @@ def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
 
     # jit the whole sharded program: eager shard_map would dispatch the
     # traced body op-by-op (hundreds of tiny compiles)
-    return jax.jit(run)(points, scalars)
+    return jax.jit(full)(points, scalars)
