@@ -102,10 +102,14 @@ def _to_affine_g1(p):
 
 @functools.lru_cache(maxsize=None)
 def _msm_kernel(n: int):
+    """Size-dispatched MSM (ops/msm.py::msm_best): Straus below the
+    Pippenger threshold, bucketed Pippenger above it."""
     del n  # shape captured by jit specialization
 
     def run(points, scalars):
-        return C.msm(C.G1_OPS, points, scalars)
+        from ..ops import msm as M
+
+        return M.msm_best(points, scalars)
 
     return jax.jit(run)
 

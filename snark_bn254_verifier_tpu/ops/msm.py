@@ -149,3 +149,26 @@ def msm_pippenger(points, scalars, c: int = 8):
 
 
 msm_pippenger_jit = jax.jit(msm_pippenger, static_argnames=("c",))
+
+# Dispatch threshold: below this point count the shared-doubling Straus pass
+# (O(256) doublings amortized over all points, no sort/scatter) wins; above
+# it Pippenger's O(N log N / c) bucket formulation takes over. The protocol
+# MSMs are all <= ~20 points (plonk/verify.rs:284, kzg.rs:82,161,175); this
+# threshold only engages for the large standalone MSM surface.
+PIPPENGER_THRESHOLD = 64
+
+
+def msm_pippenger_batched(points, scalars, c: int = 8):
+    """Batched Pippenger: points (x:(N,16,B), y:(N,16,B), inf:(N,B));
+    scalars (N,16,B) canonical Fr. Returns a Jacobian point with (16,B)
+    coordinate leaves (same contract as ops/curve.py::msm)."""
+    fn = functools.partial(msm_pippenger, c=c)
+    return jax.vmap(fn, in_axes=((2, 2, 1), 2), out_axes=1)(points, scalars)
+
+
+def msm_best(points, scalars, c: int = 8):
+    """Size-dispatched batched MSM (Straus below PIPPENGER_THRESHOLD,
+    Pippenger above). Same signature/contract as ops/curve.py::msm."""
+    if points[0].shape[0] >= PIPPENGER_THRESHOLD:
+        return msm_pippenger_batched(points, scalars, c=c)
+    return C.msm(C.G1_OPS, points, scalars)

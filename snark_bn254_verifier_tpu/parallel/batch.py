@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import secrets
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -44,10 +45,12 @@ from ..models.jax_backend import (
 from ..oracle import bn254 as bn
 from ..ops import curve as C
 from ..ops import field as F
+from ..ops import msm as M
 from ..ops import pairing as PR
 from ..ops import tower as T
 from ..utils import errors
 from ..utils import serialization as ser
+from ..utils.profiling import RunStats
 from ..utils.hash_to_field import WrappedHashToField
 from ..utils.transcript import ALPHA, BETA, GAMMA, ZETA, Transcript
 
@@ -133,9 +136,18 @@ def _g2_on_curve_jit(affine_g2):
     return C.is_on_curve_affine(C.G2_OPS, affine_g2)
 
 
+@functools.partial(jax.jit, static_argnames=("c",))
+def _pippenger_affine_b(points, scalars, c=8):
+    out = M.msm_pippenger_batched(points, scalars, c=c)
+    return C.to_affine(C.G1_OPS, out)
+
+
 def _msm_affine(points, scalars):
-    """Batched small-n MSM -> affine, via the mega Pallas kernel on TPU or
-    the jitted XLA scan elsewhere."""
+    """Batched MSM -> affine. Size-dispatched: Pippenger buckets above
+    ops/msm.py::PIPPENGER_THRESHOLD, else the mega Pallas kernel on TPU or
+    the jitted XLA Straus scan elsewhere."""
+    if points[0].shape[0] >= M.PIPPENGER_THRESHOLD:
+        return _pippenger_affine_b(points, jnp.asarray(scalars))
     if F.use_pallas():
         from ..ops import pairing_pallas as PP
 
@@ -177,6 +189,7 @@ class Groth16BatchVerifier:
         self.vk = ser.load_groth16_verifying_key_from_bytes(vk_bytes)
         self.n_inputs = len(self.vk.k) - 1
         self._alpha_beta_single = None  # (16,12,1) device Gt, computed lazily
+        self.last_stats: Optional[RunStats] = None  # set by verify_batch
 
     def _alpha_beta(self):
         """e(alpha, beta) — computed ONCE per VK on host (the oracle pairing
@@ -199,6 +212,7 @@ class Groth16BatchVerifier:
     ) -> np.ndarray:
         b = len(proofs)
         assert len(public_inputs) == b
+        t_start = time.perf_counter()
         parsed = self._parse_proofs(proofs)
         if parsed is not None:
             ar, bs, krs, valid = parsed
@@ -227,7 +241,16 @@ class Groth16BatchVerifier:
             self.n_inputs, k_stack, sc, ar, bs, krs, gamma, neg_delta, ab,
             jnp.asarray(valid),
         )
-        return np.asarray(ok)
+        ok = np.asarray(ok)
+        self.last_stats = RunStats(
+            protocol="groth16",
+            batch_size=b,
+            n_chips=max(1, len(jax.devices())),
+            elapsed_s=time.perf_counter() - t_start,
+            n_valid=int(ok.sum()),
+            pairings_per_proof=3,  # 3-pair batch vs cached e(alpha,beta)
+        )
+        return ok
 
     def _parse_proofs(self, proofs: Sequence[bytes]):
         """Native batch parse (C++ data-plane); None if unavailable or the
@@ -348,6 +371,7 @@ class PlonkBatchVerifier:
             pow(vk.generator, vk.nb_public_variables + cci, R)
             for cci in vk.commitment_constraint_indexes
         ]
+        self.last_stats: Optional[RunStats] = None  # set by verify_batch
 
     def verify_batch(
         self,
@@ -357,6 +381,8 @@ class PlonkBatchVerifier:
     ) -> np.ndarray:
         vk = self.vk
         b = len(proofs)
+        t_start = time.perf_counter()
+        host_s = 0.0
         valid = np.ones(b, dtype=bool)
         parsed: List[Optional[ser.PlonkProof]] = []
         for i, pb in enumerate(proofs):
@@ -414,8 +440,10 @@ class PlonkBatchVerifier:
                 valid[i] = False
                 lanes.append(None)
 
+        host_s += time.perf_counter() - t_start
         template = next((l for l in lanes if l is not None), None)
         if template is None:
+            self.last_stats = self._stats(b, 0, time.perf_counter() - t_start, host_s)
             return np.zeros(b, dtype=bool)
 
         # phase A: linearization digest MSM on device
@@ -437,6 +465,7 @@ class PlonkBatchVerifier:
         lin_points_host = _unpack_affine(lin_aff)
 
         # host: fold gamma (binds the digest bytes), randomizers
+        t_host2 = time.perf_counter()
         rand_fr = rng if rng is not None else (lambda: secrets.randbelow(R - 1) + 1)
         combo_cols, quot_cols = [], []
         n_combo, n_quot = None, None
@@ -487,10 +516,26 @@ class PlonkBatchVerifier:
         quot_sc = np.stack([scal(j, quot_cols) for j in range(n_quot)], axis=0)
         g2_0 = _bcast_pt_g2(vk.kzg.g2[0], b)
         g2_1 = _bcast_pt_g2(vk.kzg.g2[1], b)
+        host_s += time.perf_counter() - t_host2
         ok = _plonk_final_kernel(
             combo_pts, combo_sc, quot_pts, quot_sc, g2_0, g2_1, valid
         )
-        return np.asarray(ok)
+        ok = np.asarray(ok)
+        self.last_stats = self._stats(
+            b, int(ok.sum()), time.perf_counter() - t_start, host_s
+        )
+        return ok
+
+    def _stats(self, b: int, n_valid: int, elapsed: float, host_s: float) -> RunStats:
+        return RunStats(
+            protocol="plonk",
+            batch_size=b,
+            n_chips=max(1, len(jax.devices())),
+            elapsed_s=elapsed,
+            n_valid=n_valid,
+            pairings_per_proof=2,  # KZG 2-pair batch check (kzg.rs:180-186)
+            extra={"host_s": host_s},
+        )
 
     # -- host scalar work (reference plonk/verify.rs:62-279 semantics) ------
 

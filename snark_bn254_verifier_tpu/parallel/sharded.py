@@ -8,10 +8,14 @@ TPU-native replacements for the distributed layer the reference lacks
     on the "data" axis; batched verification then scales across chips with
     zero collectives (embarrassingly parallel proofs).
   * ``sharded_msm`` — MSM with the *points* axis sharded over "model":
-    each chip computes a local partial MSM, partials are all_gathered over
-    ICI and tree-added locally (group addition is not a psum-able ring op,
-    so gather+add is the collective of choice; the per-chip partial is tiny:
-    3 Jacobian coordinates).
+    each chip computes a local partial MSM (Straus or Pippenger by size,
+    ops/msm.py::msm_best); the per-chip partials (3 Jacobian coordinates,
+    ~1.5 KB) are gathered over ICI by XLA's sharding propagation and
+    tree-added (group addition is not a psum-able ring op, so gather+add
+    is the collective of choice).
+  * ``init_distributed`` — multi-host (DCN) initialization; the same
+    meshes then span all hosts' chips (tested 2-process on CPU,
+    tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -25,6 +29,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import curve as C
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialization: one JAX process per host, meshes
+    spanning every host's chips, collectives riding ICI within a slice and
+    DCN across hosts.
+
+    On TPU pods the three arguments are auto-detected from the environment
+    (pass nothing); for explicit clusters (or the 2-process CPU test,
+    tests/test_multihost.py) pass all three. Idempotent. The reference has
+    no distributed layer at all (SURVEY.md §2 parallelism inventory); this
+    is the TPU-native analogue mandated by BASELINE.json's v5e-16 target.
+    """
+    import jax
+
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(
@@ -58,14 +91,21 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
-def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
+def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model", c: int = 8):
     """MSM with the point axis sharded across ``axis``.
 
     points: affine stacked tuple (x:(N,16,B), y:(N,16,B), inf:(N,B));
     scalars: (N,16,B) canonical Fr. N must be divisible by the axis size.
     Returns a replicated Jacobian point (tuple of (16,B) arrays).
+
+    The per-chip kernel is size-dispatched (ops/msm.py::msm_best): Straus
+    for small local shards, Pippenger (window ``c``) above
+    PIPPENGER_THRESHOLD — the BASELINE 2^16-point config runs Pippenger on
+    every chip's 2^16/n_chips-point shard.
     """
     from jax import shard_map
+
+    from ..ops import msm as M
 
     pspec = (P(axis), P(axis), P(axis))
     sspec = P(axis)
@@ -85,7 +125,7 @@ def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model"):
         out_specs=(P(axis), P(axis), P(axis)),
     )
     def run(local_points, local_scalars):
-        part = C.msm(C.G1_OPS, local_points, local_scalars)  # local Jacobian
+        part = M.msm_best(local_points, local_scalars, c=c)  # local Jacobian
         return jax.tree_util.tree_map(lambda a: a[None], part)  # (1, 16, B)
 
     def full(pts, scs):
