@@ -53,6 +53,16 @@ def run_golden(elf: str, mode: str, vk_path: str | None, backend: str) -> int:
                                  proof.z_shifted_opening.h] + proof.bsb22_commitments
         ok = all(bn.g1_is_on_curve(p) for p in pts)
     print(f"  structure + canonical encodings + on-curve: {'OK' if ok else 'FAIL'}")
+    if vk_path is None and mode == "plonk":
+        # the SP1 v2.0.0 PlonK VK is committed (recovered from the reference
+        # guest ELF by fixtures/extract_vk.py), so golden PlonK runs full
+        # end-to-end by default; the Groth16 VK never shipped (see
+        # ARCHITECTURE.md "Correctness strategy").
+        default_vk = os.path.join(
+            os.path.dirname(__file__), "fixtures", "plonk_vk.bin"
+        )
+        if os.path.exists(default_vk):
+            vk_path = default_vk
     if vk_path:
         from . import Groth16Verifier, PlonkVerifier
 
