@@ -1,0 +1,131 @@
+"""On-hardware validation of the pairing Pallas kernels (both modes).
+
+Runs the Miller-product, final-exponentiation, and MSM mega-kernels on the
+attached TPU in BOTH execution modes against the pure-Python oracle:
+
+  * ``interpret=True``  — the same code path as the env-gated tests in
+    tests/test_pallas.py (whose XLA *CPU* compile exceeds 45 min on the
+    2-core CI host, hence the gate);
+  * ``interpret=False`` — the real Mosaic lowering, i.e. exactly the
+    kernels the production batch pipeline launches.
+
+Usage:  python tools/validate_pallas_tpu.py  [--interpret-only|--mosaic-only]
+
+First run pays the one-time compiles (persisted to .jax_cache);
+subsequent runs complete in seconds.
+"""
+
+import argparse
+import random
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+
+from snark_bn254_verifier_tpu.utils.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from snark_bn254_verifier_tpu.models.jax_backend import (  # noqa: E402
+    pack_fq,
+    pack_fr_canonical,
+    pack_g1,
+    pack_g2,
+    unpack_fq,
+    unpack_fq12,
+)
+from snark_bn254_verifier_tpu.oracle import bn254 as bn  # noqa: E402
+from snark_bn254_verifier_tpu.ops import field as F  # noqa: E402
+from snark_bn254_verifier_tpu.ops import pairing_pallas as PP  # noqa: E402
+
+rng = random.Random(31)
+
+
+def _stack_pts(cols):
+    return tuple(np.stack([c[i] for c in cols], axis=0) for i in range(3))
+
+
+def check_pairing(interpret: bool):
+    p_lanes = [
+        [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+        for _ in range(2)
+    ]
+    q_lanes = [
+        [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+        for _ in range(2)
+    ]
+    p_lanes[0][1] = None  # infinity lanes (zero-encoding detected in-kernel)
+    q_lanes[1][2] = None
+    pairs_p = _stack_pts([pack_g1(lane) for lane in p_lanes])
+    pairs_q = _stack_pts([pack_g2(lane) for lane in q_lanes])
+    t0 = time.time()
+    f = PP.miller_product_mega(pairs_p, pairs_q, interpret=interpret)
+    gt = PP.final_exp_mega(f, interpret=interpret)
+    got = unpack_fq12(np.asarray(gt))
+    dt = time.time() - t0
+    for lane in range(3):
+        pairs = [
+            (p_lanes[i][lane], q_lanes[i][lane])
+            for i in range(2)
+            if p_lanes[i][lane] is not None and q_lanes[i][lane] is not None
+        ]
+        assert got[lane] == bn.pairing_batch(pairs), (interpret, lane)
+    print(f"  miller+final_exp interpret={interpret}: OK ({dt:.1f}s)", flush=True)
+
+
+def check_msm(interpret: bool):
+    n, b = 3, 4
+    pt_lanes = [
+        [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(b)]
+        for _ in range(n)
+    ]
+    sc_lanes = [[rng.randrange(bn.R) for _ in range(b)] for _ in range(n)]
+    sc_lanes[0][1] = 0
+    pt_lanes[1][2] = None
+    points = _stack_pts([pack_g1(lane) for lane in pt_lanes])
+    scalars = np.stack([pack_fr_canonical(lane) for lane in sc_lanes], axis=0)
+    t0 = time.time()
+    ox, oy, oinf = PP.msm_affine_mega(points, scalars, interpret=interpret)
+    xs, ys = unpack_fq(np.asarray(ox)), unpack_fq(np.asarray(oy))
+    oinf = np.asarray(oinf)
+    dt = time.time() - t0
+    for lane in range(b):
+        pts = [pt_lanes[i][lane] for i in range(n)]
+        scs = [sc_lanes[i][lane] for i in range(n)]
+        exp = bn.g1_msm(
+            [p for p in pts if p is not None],
+            [s for p, s in zip(pts, scs) if p is not None],
+        )
+        if exp is None:
+            assert bool(oinf[lane]), (interpret, lane)
+        else:
+            assert not bool(oinf[lane]) and (xs[lane], ys[lane]) == exp, (
+                interpret,
+                lane,
+            )
+    print(f"  msm_affine_mega interpret={interpret}: OK ({dt:.1f}s)", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret-only", action="store_true")
+    ap.add_argument("--mosaic-only", action="store_true")
+    args = ap.parse_args()
+    import jax
+
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    modes = [True, False]
+    if args.interpret_only:
+        modes = [True]
+    if args.mosaic_only:
+        modes = [False]
+    for interpret in modes:
+        check_pairing(interpret)
+        check_msm(interpret)
+    print("ALL OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
