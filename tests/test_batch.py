@@ -36,6 +36,11 @@ def test_groth16_batch_with_bad_lanes(g16):
     inputs[6] = [1]  # wrong input count
     ok = ver.verify_batch(proofs, inputs)
     assert ok.tolist() == [True, True, True, False, True, False, False, True]
+    # observability: every batch run emits structured RunStats
+    stats = ver.last_stats
+    assert stats.protocol == "groth16" and stats.batch_size == B
+    assert stats.n_valid == 5 and stats.pairings_per_proof == 3
+    assert stats.pairings_per_sec > 0
 
 
 def test_groth16_batch_python_parser_agrees(g16):
@@ -61,3 +66,7 @@ def test_plonk_batch_with_bad_lanes(plk):
     inputs[6] = [1, 2]  # wrong public input
     ok = ver.verify_batch(proofs, inputs)
     assert ok.tolist() == [True, True, False, True, True, True, False, True]
+    stats = ver.last_stats
+    assert stats.protocol == "plonk" and stats.n_valid == 6
+    assert stats.pairings_per_proof == 2
+    assert stats.extra["host_s"] > 0

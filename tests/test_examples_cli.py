@@ -2,6 +2,10 @@
 
 from snark_bn254_verifier_tpu.examples import main
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # host-only: sub-2-minute iteration tier
+
 
 def test_synthetic_groth16():
     assert main(["--synthetic", "--mode", "groth16"]) == 0

@@ -22,6 +22,8 @@ import pytest
 from snark_bn254_verifier_tpu import PlonkVerifier
 from snark_bn254_verifier_tpu.utils.sp1_wrapper import load_sp1_wrapper
 
+pytestmark = pytest.mark.smoke  # host-only: sub-2-minute iteration tier
+
 ELFS = ["fibonacci", "is-prime", "sha2", "tendermint"]
 VK_PATH = (
     Path(__file__).resolve().parent.parent

@@ -12,9 +12,12 @@ from snark_bn254_verifier_tpu.ops.limbs import limbs_batch_to_ints
 from snark_bn254_verifier_tpu.utils import native
 from snark_bn254_verifier_tpu.utils import serialization as ser
 
-pytestmark = pytest.mark.skipif(
-    not native.native_available(), reason="native library unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not native.native_available(), reason="native library unavailable"
+    ),
+    pytest.mark.smoke,  # host-only: sub-2-minute iteration tier
+]
 
 rng = random.Random(17)
 RINV = pow(F.FQ.r_mod, -1, bn.P)

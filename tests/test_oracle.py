@@ -9,6 +9,10 @@ import random
 
 from snark_bn254_verifier_tpu.oracle import bn254 as o
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # host-only: sub-2-minute iteration tier
+
 rng = random.Random(1234)
 
 

@@ -10,6 +10,8 @@ from snark_bn254_verifier_tpu.utils import errors
 from snark_bn254_verifier_tpu.utils import serialization as ser
 from snark_bn254_verifier_tpu.utils.sp1_wrapper import load_sp1_wrapper
 
+pytestmark = pytest.mark.smoke  # host-only: sub-2-minute iteration tier
+
 rng = random.Random(99)
 
 

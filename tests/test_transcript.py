@@ -12,6 +12,8 @@ from snark_bn254_verifier_tpu.utils.hash_to_field import (
 )
 from snark_bn254_verifier_tpu.utils.transcript import Transcript
 
+pytestmark = pytest.mark.smoke  # host-only: sub-2-minute iteration tier
+
 
 def test_first_challenge_is_name_plus_bindings():
     t = Transcript(["gamma", "beta"])

@@ -10,6 +10,8 @@ from snark_bn254_verifier_tpu.fixtures.gen import gen_groth16_vector, gen_plonk_
 from snark_bn254_verifier_tpu.models.groth16 import PreparedVerifyingKey, verify_groth16
 from snark_bn254_verifier_tpu.utils import serialization as ser
 
+pytestmark = pytest.mark.smoke  # host-only: sub-2-minute iteration tier
+
 
 @pytest.fixture(scope="module")
 def g16():
