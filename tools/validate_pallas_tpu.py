@@ -1,15 +1,26 @@
-"""On-hardware validation of the pairing Pallas kernels (both modes).
+"""On-hardware validation of the pairing Pallas kernels.
 
 Runs the Miller-product, final-exponentiation, and MSM mega-kernels on the
-attached TPU in BOTH execution modes against the pure-Python oracle:
+attached TPU with the real Mosaic lowering (``interpret=False``) — exactly
+the kernels the production batch pipeline launches — against the
+pure-Python oracle, including infinity lanes and the n=2 (PlonK KZG) pair
+count.
 
-  * ``interpret=True``  — the same code path as the env-gated tests in
-    tests/test_pallas.py (whose XLA *CPU* compile exceeds 45 min on the
-    2-core CI host, hence the gate);
-  * ``interpret=False`` — the real Mosaic lowering, i.e. exactly the
-    kernels the production batch pipeline launches.
+Validation record (2026-08-21, single v5e chip via axon):
+  miller+final_exp mosaic: OK on all lanes (n=2, infinity lanes included)
+  msm_affine_mega  mosaic: OK (zero scalars, infinity inputs, all-inf lane)
 
-Usage:  python tools/validate_pallas_tpu.py  [--interpret-only|--mosaic-only]
+``--interpret`` additionally runs the pallas interpret mode. KNOWN ISSUE
+(jax 0.9): interpret mode DIVERGES from both the Mosaic lowering and the
+oracle for the Miller mega-kernel — every output limb differs — while the
+mont-mul and MSM kernels interpret correctly, and trivial repros of the
+same grid/block shapes (2-axis grid, 5-dim blocks) also interpret
+correctly. The Mosaic output is the bit-exact one (it matches the
+XLA-scan path and the oracle end-to-end), so this is an upstream
+interpret-mode execution artifact kept here as a repro; see also the
+xfail-marked tests in tests/test_pallas.py.
+
+Usage:  python tools/validate_pallas_tpu.py  [--interpret]
 
 First run pays the one-time compiles (persisted to .jax_cache);
 subsequent runs complete in seconds.
@@ -110,17 +121,17 @@ def check_msm(interpret: bool):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--interpret-only", action="store_true")
-    ap.add_argument("--mosaic-only", action="store_true")
+    ap.add_argument(
+        "--interpret",
+        action="store_true",
+        help="also run pallas interpret mode (known to diverge on the "
+        "Miller kernel under jax 0.9 — see module docstring)",
+    )
     args = ap.parse_args()
     import jax
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
-    modes = [True, False]
-    if args.interpret_only:
-        modes = [True]
-    if args.mosaic_only:
-        modes = [False]
+    modes = [False] + ([True] if args.interpret else [])
     for interpret in modes:
         check_pairing(interpret)
         check_msm(interpret)
