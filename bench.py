@@ -13,13 +13,20 @@ configs report the throughput-equivalent of their latency against the same
 target; the MSM config reports points/sec against a 2^16-points-in-250ms
 soft target (no reference number exists).
 
-Configs (BASELINE.json `configs`):
+Configs (BASELINE.json `configs` + auxiliary records):
+  pallas_validation  preflight: Mosaic kernels vs oracle on-device (jitted)
   groth16_single  single-proof Groth16 verify latency (jax backend)
   plonk_single    single-proof PlonK verify latency (full transcript + KZG)
   groth16_batch   1024-proof vmapped Groth16 batch   [HEADLINE]
   plonk_batch     1024-proof PlonK batch (golden SP1 vector when available)
   msm             2^16-point G1 Pippenger MSM sharded across the chips
   mixed           interleaved Groth16+PlonK batched throughput
+  scaling         CPU-mesh weak scaling 1->8 virtual devices (subprocesses)
+
+Each config runs under per-config fault isolation: a crashing config emits
+{"metric": ..., "error": ...} and the remaining configs (the headline runs
+last) still produce their lines (round-3 lesson: one config crash erased
+the whole round's perf record).
 
 Usage: python bench.py [--smoke] [--batch N] [--iters K]
                        [--configs a,b,...|all] [--msm-c BITS]
@@ -28,7 +35,10 @@ Usage: python bench.py [--smoke] [--batch N] [--iters K]
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
+import traceback
 
 
 GOLDEN_DIR = "/root/reference/examples/binaries"
@@ -83,7 +93,9 @@ def bench_groth16_batch(cfg, iters):
     stats = verifier.last_stats
     n_chips = max(1, len(jax.devices()))
     pps_chip = batch * iters / elapsed / n_chips
-    return {
+    from snark_bn254_verifier_tpu.utils import roofline as RL
+
+    line = {
         "metric": "groth16_batched_verify_throughput",
         "value": round(pps_chip, 2),
         "unit": "proofs/sec/chip",
@@ -95,6 +107,10 @@ def bench_groth16_batch(cfg, iters):
         "pairings_per_sec": round(pps_chip * n_chips * stats.pairings_per_proof, 1),
         "platform": jax.devices()[0].platform,
     }
+    line.update(
+        RL.roofline_fields(pps_chip, RL.groth16_mults_per_proof(verifier.n_inputs))
+    )
+    return line
 
 
 def bench_plonk_batch(cfg, iters):
@@ -121,7 +137,9 @@ def bench_plonk_batch(cfg, iters):
     stats = verifier.last_stats
     n_chips = max(1, len(jax.devices()))
     pps_chip = batch * iters / elapsed / n_chips
-    return {
+    from snark_bn254_verifier_tpu.utils import roofline as RL
+
+    line = {
         "metric": "plonk_batched_verify_throughput",
         "value": round(pps_chip, 2),
         "unit": "proofs/sec/chip",
@@ -135,6 +153,12 @@ def bench_plonk_batch(cfg, iters):
         "pairings_per_sec": round(pps_chip * n_chips * stats.pairings_per_proof, 1),
         "platform": jax.devices()[0].platform,
     }
+    line.update(
+        RL.roofline_fields(
+            pps_chip, RL.plonk_mults_per_proof(len(verifier.vk.qcp))
+        )
+    )
+    return line
 
 
 def _latency(fn, iters):
@@ -240,7 +264,7 @@ def bench_msm(cfg, iters, log2n):
         "metric": f"msm_2e{log2n}_sharded_wallclock",
         "value": round(per_msm * 1e3, 2),
         "unit": "ms",
-        "vs_baseline": round(TARGET_MSM_S / per_msm / (1 << (16 - log2n)), 4),
+        "vs_baseline": round(TARGET_MSM_S / per_msm / (2.0 ** (16 - log2n)), 4),
         "points": n,
         "window_bits": cfg.msm_window_bits,
         "points_per_sec": round(n / per_msm, 1),
@@ -296,6 +320,172 @@ def bench_mixed(cfg, iters):
     }
 
 
+def bench_pallas_validation(cfg, iters):
+    """Preflight: the Mosaic kernel tier vs the pure-Python oracle,
+    on-device, through jit (so the persistent compile cache applies and a
+    warm run completes in seconds — VERDICT r3 weak #4: the previous
+    validation tool dispatched raw pallas_calls and never finished).
+
+    Skipped (with a record) off-TPU: interpret-mode compiles of the
+    pairing kernels exceed small-host budgets (tests/test_pallas.py
+    documents the gate); the CPU tier is covered by the test suite.
+    """
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        return {
+            "metric": "pallas_validation",
+            "value": 0,
+            "unit": "ok",
+            "skipped": f"platform={platform} (validation is for the Mosaic "
+            "lowering; CPU interpret tier is covered by tests/test_pallas.py)",
+            "platform": platform,
+        }
+
+    import numpy as np
+
+    from snark_bn254_verifier_tpu.models.jax_backend import (
+        pack_fq,
+        pack_fr_canonical,
+        pack_g1,
+        pack_g2,
+        unpack_fq,
+        unpack_fq12,
+    )
+    from snark_bn254_verifier_tpu.oracle import bn254 as bn
+    from snark_bn254_verifier_tpu.ops import field as F
+    from snark_bn254_verifier_tpu.ops import field_pallas as FP
+    from snark_bn254_verifier_tpu.ops import pairing_pallas as PP
+
+    import random
+
+    rng = random.Random(17)
+    stages = {}
+    ok_all = True
+
+    def _stack_pts(cols):
+        return tuple(np.stack([c[i] for c in cols], axis=0) for i in range(3))
+
+    # stage 1: Montgomery multiply kernel
+    t0 = time.time()
+    avals = [rng.randrange(bn.P) for _ in range(8)]
+    bvals = [rng.randrange(bn.P) for _ in range(8)]
+    mm = jax.jit(lambda a, b: FP.mont_mul_pallas(F.FQ, a, b))
+    out = np.asarray(mm(F.FQ.pack(avals), F.FQ.pack(bvals)))
+    got = unpack_fq(out)
+    ok = got == [x * y % bn.P for x, y in zip(avals, bvals)]
+    stages["mont_mul"] = {"ok": bool(ok), "s": round(time.time() - t0, 1)}
+    ok_all &= ok
+
+    # stage 2: Miller product + final exponentiation mega-kernels (2 pairs,
+    # 3 lanes incl. an infinity lane) vs the oracle pairing
+    t0 = time.time()
+    p_lanes = [
+        [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+        for _ in range(2)
+    ]
+    q_lanes = [
+        [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+        for _ in range(2)
+    ]
+    p_lanes[0][1] = None
+    pairs_p = _stack_pts([pack_g1(lane) for lane in p_lanes])
+    pairs_q = _stack_pts([pack_g2(lane) for lane in q_lanes])
+    f = PP.miller_product_mega(pairs_p, pairs_q)
+    gt = unpack_fq12(np.asarray(PP.final_exp_mega(f)))
+    ok = True
+    for lane in range(3):
+        pairs = [
+            (p_lanes[i][lane], q_lanes[i][lane])
+            for i in range(2)
+            if p_lanes[i][lane] is not None
+        ]
+        ok &= gt[lane] == bn.pairing_batch(pairs)
+    stages["miller_final_exp"] = {"ok": bool(ok), "s": round(time.time() - t0, 1)}
+    ok_all &= ok
+
+    # stage 3: mega MSM kernel (3 points, 4 lanes) vs the oracle
+    t0 = time.time()
+    pt_lanes = [
+        [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(4)]
+        for _ in range(3)
+    ]
+    sc_lanes = [[rng.randrange(bn.R) for _ in range(4)] for _ in range(3)]
+    points = _stack_pts([pack_g1(lane) for lane in pt_lanes])
+    scalars = np.stack([pack_fr_canonical(lane) for lane in sc_lanes], axis=0)
+    ox, oy, oinf = PP.msm_affine_mega(points, scalars)
+    xs, ys = unpack_fq(np.asarray(ox)), unpack_fq(np.asarray(oy))
+    ok = True
+    for lane in range(4):
+        exp = bn.g1_msm(
+            [pt_lanes[i][lane] for i in range(3)],
+            [sc_lanes[i][lane] for i in range(3)],
+        )
+        ok &= (xs[lane], ys[lane]) == exp
+    stages["msm_mega"] = {"ok": bool(ok), "s": round(time.time() - t0, 1)}
+    ok_all &= ok
+
+    return {
+        "metric": "pallas_validation",
+        "value": 1 if ok_all else 0,
+        "unit": "ok",
+        "stages": stages,
+        "platform": platform,
+    }
+
+
+def bench_scaling(cfg, iters):
+    """CPU-mesh weak scaling (1 -> 8 virtual devices): the closest
+    single-host proxy for the >= 85%-at-16-chips north star. Per-device
+    batch is fixed (weak scaling); efficiency(N) =
+    throughput(N) / (N * throughput(1))."""
+    child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "weak_scaling_child.py")
+    per_dev = 64
+    child_iters = max(2, iters // 2)
+    points = []
+    for n_dev in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = env.get("XLA_FLAGS", "")
+        flags = " ".join(
+            t for t in flags.split() if "force_host_platform" not in t
+        )
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_dev}"
+        ).strip()
+        out = subprocess.run(
+            [sys.executable, child, str(n_dev), str(per_dev * n_dev),
+             str(child_iters)],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"scaling child ndev={n_dev} rc={out.returncode}: "
+                + out.stderr[-800:]
+            )
+        points.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    base = points[0]["proofs_per_sec"]
+    effs = {
+        str(p["devices"]): round(
+            p["proofs_per_sec"] / (p["devices"] * base), 4
+        )
+        for p in points
+    }
+    eff8 = effs["8"]
+    return {
+        "metric": "weak_scaling_efficiency_8dev",
+        "value": eff8,
+        "unit": "fraction",
+        "vs_baseline": round(eff8 / 0.85, 4),  # north star >= 85%
+        "per_device_batch": per_dev,
+        "points": points,
+        "efficiency": effs,
+        "platform": "cpu-mesh",
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny shapes, quick")
@@ -324,8 +514,8 @@ def main():
     cfg = VerifierConfig(batch_size=batch, msm_window_bits=args.msm_c)
 
     wanted = (
-        ["groth16_single", "plonk_single", "plonk_batch", "msm", "mixed",
-         "groth16_batch"]
+        ["pallas_validation", "groth16_single", "plonk_single", "plonk_batch",
+         "msm", "mixed", "scaling", "groth16_batch"]
         if args.configs == "all"
         else args.configs.split(",")
     )
@@ -335,15 +525,29 @@ def main():
         wanted = [c for c in wanted if c != "groth16_batch"] + ["groth16_batch"]
 
     runners = {
+        "pallas_validation": lambda: bench_pallas_validation(cfg, iters),
         "groth16_single": lambda: bench_groth16_single(cfg, max(4, iters)),
         "plonk_single": lambda: bench_plonk_single(cfg, max(4, iters)),
         "groth16_batch": lambda: bench_groth16_batch(cfg, iters),
         "plonk_batch": lambda: bench_plonk_batch(cfg, iters),
         "msm": lambda: bench_msm(cfg, max(2, iters // 2), log2n),
         "mixed": lambda: bench_mixed(cfg, max(2, iters // 2)),
+        "scaling": lambda: bench_scaling(cfg, iters),
     }
+    # Per-config fault isolation (round-3 lesson: the msm config crashed at
+    # trace time and erased every metric, including the headline that never
+    # got to run). A failing config emits an error line; the rest proceed.
     for name in wanted:
-        _emit(runners[name]())
+        try:
+            _emit(runners[name]())
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            _emit(
+                {
+                    "metric": name,
+                    "error": f"{type(e).__name__}: {e}",
+                    "trace_tail": traceback.format_exc().strip().splitlines()[-3:],
+                }
+            )
 
 
 if __name__ == "__main__":

@@ -218,7 +218,12 @@ def verify_plonk(
 
 
 class PlonkVerifier:
-    """Public API facade matching the reference (verifier/src/lib.rs:69-74)."""
+    """Public API facade matching the reference (verifier/src/lib.rs:69-74).
+
+    The parsed VK is cached by its byte hash, so repeat single-proof calls
+    skip the ~1KB VK decompression (two G2 sqrt towers) each time."""
+
+    _vk_cache: dict = {}
 
     @staticmethod
     def verify(
@@ -227,6 +232,12 @@ class PlonkVerifier:
         public_inputs: Sequence[int],
         backend=None,
     ) -> bool:
+        import hashlib
+
+        key = hashlib.sha256(vk).digest()
+        vk_obj = PlonkVerifier._vk_cache.get(key)
+        if vk_obj is None:
+            vk_obj = ser.load_plonk_verifying_key_from_bytes(vk)
+            PlonkVerifier._vk_cache[key] = vk_obj
         proof_obj = ser.load_plonk_proof_from_bytes(proof)
-        vk_obj = ser.load_plonk_verifying_key_from_bytes(vk)
         return verify_plonk(vk_obj, proof_obj, public_inputs, backend=backend)

@@ -232,6 +232,26 @@ def use_pallas() -> bool:
     return _use_pallas_cached
 
 
+_pallas_interpret_cached = None
+
+
+def pallas_interpret() -> bool:
+    """Force Pallas interpret mode (TPU_BN254_PALLAS_INTERPRET=1).
+
+    Lets the CPU test suite trace/execute the EXACT Pallas dispatch path the
+    real-TPU run takes (Pallas × shard_map × check_vma — the round-3 bench
+    crash class) without hardware: TPU_BN254_PALLAS=1 turns the dispatch on,
+    this flag makes the kernels executable on the CPU backend."""
+    global _pallas_interpret_cached
+    if _pallas_interpret_cached is None:
+        import os
+
+        _pallas_interpret_cached = (
+            os.environ.get("TPU_BN254_PALLAS_INTERPRET") == "1"
+        )
+    return _pallas_interpret_cached
+
+
 def _mod_vec(spec: FieldSpec, batch_ndim: int):
     """Modulus limbs as a (16, 1, ..) broadcastable device constant."""
     n = jnp.asarray(np.asarray(spec.mod_limbs, dtype=np.uint32))
@@ -263,7 +283,7 @@ def mont_mul(spec: FieldSpec, a, b):
     if use_pallas():
         from . import field_pallas
 
-        return field_pallas.mont_mul_pallas(spec, a, b)
+        return field_pallas.mont_mul_pallas(spec, a, b, interpret=pallas_interpret())
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     batch_shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -520,14 +540,48 @@ def _bcast_one(spec: FieldSpec, like):
     return jnp.broadcast_to(_const(spec.one_mont_np, like), like.shape)
 
 
-# Convenience partials for the two fields
-fq_add = functools.partial(add, FQ)
-fq_sub = functools.partial(sub, FQ)
-fq_neg = functools.partial(neg, FQ)
-fq_mul = functools.partial(mont_mul, FQ)
-fq_sq = functools.partial(mont_sq, FQ)
-fq_inv = functools.partial(inv, FQ)
-fr_add = functools.partial(add, FR)
-fr_sub = functools.partial(sub, FR)
-fr_mul = functools.partial(mont_mul, FR)
-fr_inv = functools.partial(inv, FR)
+# Convenience wrappers for the two fields. Deliberately ``def``s rather
+# than functools.partial: a partial would capture the underlying function
+# OBJECT at import, so runtime instrumentation of mont_mul/inv (the
+# roofline counter, utils/roofline.py) and any future dispatch changes
+# would be silently bypassed by every caller holding the partial (e.g.
+# curve.py's CurveOps). A def resolves the target from module globals on
+# every call.
+def fq_add(a, b):
+    return add(FQ, a, b)
+
+
+def fq_sub(a, b):
+    return sub(FQ, a, b)
+
+
+def fq_neg(a):
+    return neg(FQ, a)
+
+
+def fq_mul(a, b):
+    return mont_mul(FQ, a, b)
+
+
+def fq_sq(a):
+    return mont_sq(FQ, a)
+
+
+def fq_inv(a):
+    return inv(FQ, a)
+
+
+def fr_add(a, b):
+    return add(FR, a, b)
+
+
+def fr_sub(a, b):
+    return sub(FR, a, b)
+
+
+def fr_mul(a, b):
+    return mont_mul(FR, a, b)
+
+
+def fr_inv(a):
+    return inv(FR, a)

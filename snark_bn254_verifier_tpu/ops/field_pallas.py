@@ -71,8 +71,24 @@ def _mont_kernel(mod_limbs, n0inv, a_ref, b_ref, o_ref):
         o_ref[j] = jnp.where(do_sub, d[j], t[j])
 
 
+def out_vma(*arrays) -> tuple:
+    """Union of the inputs' varying-mesh-axes, as a sorted tuple.
+
+    Under ``shard_map(..., check_vma=True)`` every traced value carries the
+    set of mesh axes it varies over; ``pallas_call`` out_shapes must state
+    theirs explicitly (a plain ShapeDtypeStruct has vma=None and the trace
+    fails — the round-3 TPU bench crash). A Pallas kernel is elementwise in
+    the mesh (no collectives inside), so the outputs vary over exactly the
+    union of the inputs' axes. Outside shard_map every vma is empty and
+    this is a no-op."""
+    axes = set()
+    for a in arrays:
+        axes |= getattr(jax.typeof(a), "vma", frozenset())
+    return tuple(sorted(axes))
+
+
 @functools.lru_cache(maxsize=None)
-def _mont_call(modulus_key: str, n_rows: int, interpret: bool):
+def _mont_call(modulus_key: str, n_rows: int, interpret: bool, vma: tuple = ()):
     from . import field as F
 
     spec = F.FQ if modulus_key == "fq" else F.FR
@@ -82,7 +98,9 @@ def _mont_call(modulus_key: str, n_rows: int, interpret: bool):
     grid = n_rows // TILE_S
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n_rows, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, n_rows, 128), jnp.uint32, vma=frozenset(vma)
+        ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((L, TILE_S, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -115,7 +133,7 @@ def mont_mul_pallas(spec, a, b, interpret: bool = False):
         af = jnp.pad(af, ((0, 0), (0, pad)))
         bf = jnp.pad(bf, ((0, 0), (0, pad)))
     rows = (n + pad) // 128
-    out = _mont_call(spec.name, rows, interpret)(
+    out = _mont_call(spec.name, rows, interpret, out_vma(af, bf))(
         af.reshape(L, rows, 128), bf.reshape(L, rows, 128)
     )
     out = out.reshape(L, n + pad)

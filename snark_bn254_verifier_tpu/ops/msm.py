@@ -36,6 +36,13 @@ G1 = C.G1_OPS
 
 def _digits(scalars, c: int, w: int):
     """(N,16) canonical Fr limbs -> (W, N) int32 digit matrix."""
+    # A digit is assembled from at most TWO adjacent 16-bit limbs; c <= 16
+    # guarantees that (worst case off=15: 1 bit from limb k + 15 of the 16
+    # available from limb k+1). Wider windows would need a third limb and
+    # silently truncate — fail loudly instead (c reachable via bench --msm-c
+    # and the c= kwargs on msm_best/sharded_msm).
+    if not (1 <= c <= 16):
+        raise ValueError(f"Pippenger window width c={c} unsupported (need 1..16)")
     outs = []
     for win in range(w):
         lo_bit = c * win

@@ -135,10 +135,12 @@ def _bspec2(shape):
 
 
 @functools.lru_cache(maxsize=None)
-def _miller_call(n_pairs: int, rows: int, interpret: bool):
+def _miller_call(n_pairs: int, rows: int, interpret: bool, vma: tuple = ()):
     return pl.pallas_call(
         _miller_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pairs, L, 12, rows, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pairs, L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
+        ),
         grid=(n_pairs, rows // TILE_S),
         in_specs=[
             _bspec2((1, L, TILE_S, 128)),
@@ -152,11 +154,13 @@ def _miller_call(n_pairs: int, rows: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _product_call(n_pairs: int, rows: int, interpret: bool):
+def _product_call(n_pairs: int, rows: int, interpret: bool, vma: tuple = ()):
     kernel = functools.partial(_fq12_product_kernel, n_pairs)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, 12, rows, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
+        ),
         grid=(rows // TILE_S,),
         in_specs=[_bspec((n_pairs, L, 12, TILE_S, 128))],
         out_specs=_bspec((L, 12, TILE_S, 128)),
@@ -165,10 +169,12 @@ def _product_call(n_pairs: int, rows: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _final_exp_call(rows: int, interpret: bool):
+def _final_exp_call(rows: int, interpret: bool, vma: tuple = ()):
     return pl.pallas_call(
         _final_exp_kernel,
-        out_shape=jax.ShapeDtypeStruct((L, 12, rows, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
+        ),
         grid=(rows // TILE_S,),
         in_specs=[_bspec((L, 12, TILE_S, 128))],
         out_specs=_bspec((L, 12, TILE_S, 128)),
@@ -177,14 +183,15 @@ def _final_exp_call(rows: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_call(n_points: int, rows: int, interpret: bool):
+def _msm_call(n_points: int, rows: int, interpret: bool, vma: tuple = ()):
     kernel = functools.partial(_msm_affine_kernel, n_points)
+    _vma = frozenset(vma)
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((1, rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32, vma=_vma),
+            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32, vma=_vma),
+            jax.ShapeDtypeStruct((1, rows, 128), jnp.uint32, vma=_vma),
         ),
         grid=(rows // TILE_S,),
         in_specs=[
@@ -224,15 +231,15 @@ def _from_rows(a, batch):
     return flat[..., :batch]
 
 
-def miller_product_mega(pairs_p, pairs_q, interpret: bool = False):
-    """pairs_p: (x:(n,16,B), y, inf); pairs_q: Fq2 arrays (n,16,2,B).
-    Infinity handling happens in-kernel from the zero encoding. Returns
-    (16, 12, B)."""
+def _miller_product_mega_impl(pairs_p, pairs_q, interpret):
+    from .field_pallas import out_vma
+
     px, py, _ = pairs_p
     qx, qy, _ = pairs_q
     n, _, batch = px.shape
     rows = _rows_for(batch)
-    fs = _miller_call(n, rows, interpret)(
+    vma = out_vma(px, py, qx, qy)
+    fs = _miller_call(n, rows, interpret, vma)(
         _to_rows(px, batch, rows),
         _to_rows(py, batch, rows),
         _to_rows(qx, batch, rows),
@@ -240,24 +247,28 @@ def miller_product_mega(pairs_p, pairs_q, interpret: bool = False):
     )
     if n == 1:
         return _from_rows(fs[0], batch)
-    out = _product_call(n, rows, interpret)(fs)
+    out = _product_call(n, rows, interpret, vma)(fs)
     return _from_rows(out, batch)
 
 
-def final_exp_mega(f, interpret: bool = False):
-    """f: (16, 12, B) -> (16, 12, B)."""
+def _final_exp_mega_impl(f, interpret):
+    from .field_pallas import out_vma
+
     batch = f.shape[-1]
     rows = _rows_for(batch)
-    return _from_rows(_final_exp_call(rows, interpret)(_to_rows(f, batch, rows)), batch)
+    return _from_rows(
+        _final_exp_call(rows, interpret, out_vma(f))(_to_rows(f, batch, rows)),
+        batch,
+    )
 
 
-def msm_affine_mega(points, scalars, interpret: bool = False):
-    """points: (x:(n,16,B), y:(n,16,B), inf:(n,B)); scalars (n,16,B)
-    canonical. Returns affine (x:(16,B), y:(16,B), inf:(B,) bool)."""
+def _msm_affine_mega_impl(points, scalars, interpret):
+    from .field_pallas import out_vma
+
     px, py, pinf = points
     n, _, batch = px.shape
     rows = _rows_for(batch)
-    ox, oy, oinf = _msm_call(n, rows, interpret)(
+    ox, oy, oinf = _msm_call(n, rows, interpret, out_vma(px, py, pinf, scalars))(
         _to_rows(px, batch, rows),
         _to_rows(py, batch, rows),
         _to_rows(pinf.astype(jnp.uint32), batch, rows),
@@ -268,3 +279,48 @@ def msm_affine_mega(points, scalars, interpret: bool = False):
         _from_rows(oy, batch),
         _from_rows(oinf, batch)[0].astype(bool),
     )
+
+
+# ---------------------------------------------------------------------------
+# Public entry points: the impls wrapped in jax.jit. Raw pallas_call
+# dispatch is NOT covered by JAX's persistent compilation cache, so every
+# fresh process used to pay the full Mosaic compile (minutes) before the
+# first proof; under jit the whole launch (reshape + pallas_call) is one
+# cacheable executable. Nested use inside an outer jit simply inlines.
+# ---------------------------------------------------------------------------
+
+_miller_product_mega_jit = jax.jit(
+    _miller_product_mega_impl, static_argnames=("interpret",)
+)
+_final_exp_mega_jit = jax.jit(_final_exp_mega_impl, static_argnames=("interpret",))
+_msm_affine_mega_jit = jax.jit(_msm_affine_mega_impl, static_argnames=("interpret",))
+
+
+def _clear_mega_jit_caches():
+    """For tests that patch TILE_S: drop traces built with the old tile."""
+    for fn in (_miller_product_mega_jit, _final_exp_mega_jit, _msm_affine_mega_jit):
+        fn.clear_cache()
+
+
+def miller_product_mega(pairs_p, pairs_q, interpret=None):
+    """pairs_p: (x:(n,16,B), y, inf); pairs_q: Fq2 arrays (n,16,2,B).
+    Infinity handling happens in-kernel from the zero encoding. Returns
+    (16, 12, B)."""
+    if interpret is None:
+        interpret = F.pallas_interpret()
+    return _miller_product_mega_jit(pairs_p, pairs_q, interpret=interpret)
+
+
+def final_exp_mega(f, interpret=None):
+    """f: (16, 12, B) -> (16, 12, B)."""
+    if interpret is None:
+        interpret = F.pallas_interpret()
+    return _final_exp_mega_jit(f, interpret=interpret)
+
+
+def msm_affine_mega(points, scalars, interpret=None):
+    """points: (x:(n,16,B), y:(n,16,B), inf:(n,B)); scalars (n,16,B)
+    canonical. Returns affine (x:(16,B), y:(16,B), inf:(B,) bool)."""
+    if interpret is None:
+        interpret = F.pallas_interpret()
+    return _msm_affine_mega_jit(points, scalars, interpret=interpret)

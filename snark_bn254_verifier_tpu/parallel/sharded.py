@@ -48,7 +48,11 @@ def init_distributed(
     """
     import jax
 
-    if jax._src.distributed.global_state.client is not None:  # already up
+    # Idempotence via the public surface where available (jax >= 0.7 exposes
+    # is_initialized); fall back to catching the documented "already
+    # initialized" RuntimeError rather than reading jax._src internals.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -57,7 +61,11 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(
@@ -91,6 +99,74 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(put, tree)
 
 
+def sharded_msm_program(mesh: Mesh, axis: str = "model", c: int = 8):
+    """Build the (unjitted) sharded-MSM program for ``mesh``.
+
+    Split from :func:`sharded_msm` so the test suite can TRACE the exact
+    shard_map x Pallas program (``jax.jit(prog).trace(...)``) without
+    executing it — the round-3 TPU bench crash was a trace-time failure of
+    precisely this combination, reproducible on CPU
+    (tests/test_pallas_shard.py).
+    """
+    from jax import shard_map
+
+    from ..ops import field as F
+    from ..ops import msm as M
+
+    pspec = (P(axis), P(axis), P(axis))
+    sspec = P(axis)
+
+    # check_vma stays ON (the default) for the production (compiled) path:
+    # the field/curve kernels derive their scan-carry inits from the inputs
+    # (`vz = (a+b)*0` in ops/field.py mont_mul/add/sub and ops/curve.py
+    # _inf_point) so carries inherit the inputs' varying mesh axes, and the
+    # Pallas wrappers declare their out_shapes' vma from the inputs
+    # (ops/field_pallas.py::out_vma — round-3 TPU bench crash fix). The
+    # shard_map emits per-device partials (out_specs=P(axis) — honestly
+    # typed as varying); the Jacobian reduction happens OUTSIDE the manual
+    # region, where XLA's sharding propagation inserts the gather over ICI.
+    #
+    # The ONE exception: Pallas interpret mode (CPU regression tests,
+    # TPU_BN254_PALLAS_INTERPRET=1). The Pallas interpreter evaluates its
+    # block-slicing jaxpr under the shard_map trace and mixes varying block
+    # data with non-varying index constants, which the vma checker rejects
+    # inside JAX itself ("Primitive dynamic_slice requires varying manual
+    # axes to match ... as a temporary workaround pass check_vma=False").
+    check_vma = not (F.use_pallas() and F.pallas_interpret())
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, sspec),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=check_vma,
+    )
+    def run(local_points, local_scalars):
+        part = M.msm_best(local_points, local_scalars, c=c)  # local Jacobian
+        return jax.tree_util.tree_map(lambda a: a[None], part)  # (1, 16, B)
+
+    def full(pts, scs):
+        parts = run(pts, scs)  # leaves (ndev, 16, B), sharded over `axis`
+        ndev = parts[0].shape[0]
+        # pairwise (tree) reduction of the per-chip partials: O(log ndev)
+        # depth in the compiled graph
+        acc = [
+            jax.tree_util.tree_map(lambda a, i=i: a[i], parts)
+            for i in range(ndev)
+        ]
+        while len(acc) > 1:
+            nxt = [
+                C.jacobian_add(C.G1_OPS, acc[i], acc[i + 1])
+                if i + 1 < len(acc)
+                else acc[i]
+                for i in range(0, len(acc), 2)
+            ]
+            acc = nxt
+        return acc[0]
+
+    return full
+
+
 def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model", c: int = 8):
     """MSM with the point axis sharded across ``axis``.
 
@@ -103,40 +179,6 @@ def sharded_msm(mesh: Mesh, points, scalars, axis: str = "model", c: int = 8):
     PIPPENGER_THRESHOLD — the BASELINE 2^16-point config runs Pippenger on
     every chip's 2^16/n_chips-point shard.
     """
-    from jax import shard_map
-
-    from ..ops import msm as M
-
-    pspec = (P(axis), P(axis), P(axis))
-    sspec = P(axis)
-
-    # check_vma stays ON (the default): the field/curve kernels derive
-    # their scan-carry inits from the inputs (`vz = (a+b)*0` in
-    # ops/field.py mont_mul/add/sub and ops/curve.py _inf_point) exactly so
-    # that carries inherit the inputs' varying mesh axes and pass the
-    # varying-manual-axes type check. The shard_map emits per-device
-    # partials (out_specs=P(axis) — honestly typed as varying); the
-    # Jacobian tree-reduction happens OUTSIDE the manual region, where
-    # XLA's sharding propagation inserts the gather over ICI itself.
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(pspec, sspec),
-        out_specs=(P(axis), P(axis), P(axis)),
-    )
-    def run(local_points, local_scalars):
-        part = M.msm_best(local_points, local_scalars, c=c)  # local Jacobian
-        return jax.tree_util.tree_map(lambda a: a[None], part)  # (1, 16, B)
-
-    def full(pts, scs):
-        parts = run(pts, scs)  # leaves (ndev, 16, B), sharded over `axis`
-        ndev = parts[0].shape[0]
-        acc = jax.tree_util.tree_map(lambda a: a[0], parts)
-        for i in range(1, ndev):
-            pi = jax.tree_util.tree_map(lambda a: a[i], parts)
-            acc = C.jacobian_add(C.G1_OPS, acc, pi)
-        return acc
-
     # jit the whole sharded program: eager shard_map would dispatch the
     # traced body op-by-op (hundreds of tiny compiles)
-    return jax.jit(full)(points, scalars)
+    return jax.jit(sharded_msm_program(mesh, axis=axis, c=c))(points, scalars)

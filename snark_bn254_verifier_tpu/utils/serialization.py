@@ -116,8 +116,10 @@ def uncompressed_to_g1(buf: bytes) -> G1Point:
         raise errors.InvalidXLengthError(len(buf))
     x = fq_from_slice(buf[:32])
     y = fq_from_slice(buf[32:])
-    if x == 0 and y == 0:
-        return None
+    # Reference-parity: the all-zero uncompressed encoding is REJECTED.
+    # converter.rs:78-88 feeds (0,0) to AffineG1::new, whose on-curve check
+    # (0 != b) errors — uncompressed bytes have no infinity encoding (only
+    # the compressed flag bit does). Tested tests/test_serialization.py.
     pt = (x, y)
     if not bn.g1_is_on_curve(pt):
         raise errors.GroupError("G1 point not on curve")
@@ -154,8 +156,8 @@ def uncompressed_to_g2(buf: bytes) -> G2Point:
     x0 = fq_from_slice(buf[32:64])
     y1 = fq_from_slice(buf[64:96])
     y0 = fq_from_slice(buf[96:128])
-    if x0 == x1 == y0 == y1 == 0:
-        return None
+    # Reference-parity: all-zero rejected via the on-curve check, as in
+    # converter.rs:135-153 -> AffineG2::new (see uncompressed_to_g1).
     pt = ((x0, x1), (y0, y1))
     if not bn.g2_is_on_curve(pt):
         raise errors.GroupError("G2 point not on twist curve")

@@ -86,12 +86,14 @@ def small_tiles():
     PP._product_call.cache_clear()
     PP._final_exp_call.cache_clear()
     PP._msm_call.cache_clear()
+    PP._clear_mega_jit_caches()
     yield
     PP.TILE_S = old
     PP._miller_call.cache_clear()
     PP._product_call.cache_clear()
     PP._final_exp_call.cache_clear()
     PP._msm_call.cache_clear()
+    PP._clear_mega_jit_caches()
 
 
 def _stack_pts(cols):

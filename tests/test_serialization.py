@@ -92,6 +92,31 @@ def test_off_curve_uncompressed_rejected():
         ser.uncompressed_to_g1(buf)
 
 
+def test_all_zero_uncompressed_rejected_g1_g2():
+    """Reference parity: uncompressed (0,0) is NOT an infinity encoding —
+    converter.rs:78-88/135-153 pass it to AffineG1/G2::new, whose on-curve
+    check (0 != b) errors. All three parsers agree: this Python path, the
+    native batch parser (bn254_host.cc g1_check), and the device G2 check
+    (VERDICT r3 item #6)."""
+    with pytest.raises(errors.GroupError):
+        ser.uncompressed_to_g1(b"\x00" * 64)
+    with pytest.raises(errors.GroupError):
+        ser.uncompressed_to_g2(b"\x00" * 128)
+
+
+def test_all_zero_uncompressed_native_parser_agrees():
+    """The C++ batch parser marks a (0,0)-ar lane invalid (not infinity)."""
+    from snark_bn254_verifier_tpu.utils import native
+
+    if not native.native_available():
+        pytest.skip("native parser not built")
+    good = ser.g1_to_bytes(rand_g1())
+    g2b = ser.g2_to_uncompressed_bytes(rand_g2())
+    proof_zero_ar = b"\x00" * 64 + g2b + good
+    outs = native.parse_groth16_batch(proof_zero_ar, len(proof_zero_ar), 1)
+    assert not bool(outs["valid"][0])
+
+
 def test_fr_from_slice_canonical():
     with pytest.raises(errors.FieldError):
         ser.fr_from_slice(bn.R.to_bytes(32, "big"))

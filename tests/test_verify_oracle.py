@@ -27,6 +27,34 @@ def test_groth16_synthetic_verifies(g16):
     assert Groth16Verifier.verify(g16.proof, g16.vk, g16.public_inputs) is True
 
 
+def test_groth16_sp1_shaped_verifies_all_backends():
+    """SP1-layout synthetic vector (k-count 4, one committed array,
+    ncommitments=1 + pok trailing region — 388-byte proof) end-to-end on
+    the oracle, jax, and batched backends (VERDICT r3 item #9)."""
+    from snark_bn254_verifier_tpu.fixtures.gen import gen_groth16_vector_sp1_shaped
+    from snark_bn254_verifier_tpu.parallel.batch import Groth16BatchVerifier
+
+    v = gen_groth16_vector_sp1_shaped(3)
+    assert len(v.proof) == 388
+    vk = ser.load_groth16_verifying_key_from_bytes(v.vk)
+    assert len(vk.k) == 4
+    assert Groth16Verifier.verify(v.proof, v.vk, v.public_inputs) is True
+    assert (
+        Groth16Verifier.verify(v.proof, v.vk, v.public_inputs, backend="jax")
+        is True
+    )
+    bv = Groth16BatchVerifier(v.vk)
+    ok = bv.verify_batch([v.proof] * 3, [v.public_inputs] * 3)
+    assert all(bool(x) for x in ok)
+
+
+def test_groth16_committed_array_contents_skipped():
+    """Nonzero inner committed-array entries only advance the parse offset
+    (groth16/converter.rs:47-65); the same trapdoor still verifies."""
+    v = gen_groth16_vector(11, num_inputs=2, committed_array_lens=(2, 3))
+    assert Groth16Verifier.verify(v.proof, v.vk, v.public_inputs) is True
+
+
 def test_groth16_no_inputs_variant():
     v = gen_groth16_vector(7, num_inputs=0)
     assert Groth16Verifier.verify(v.proof, v.vk, v.public_inputs) is True

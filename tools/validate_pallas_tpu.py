@@ -22,8 +22,12 @@ xfail-marked tests in tests/test_pallas.py.
 
 Usage:  python tools/validate_pallas_tpu.py  [--interpret]
 
-First run pays the one-time compiles (persisted to .jax_cache);
-subsequent runs complete in seconds.
+The mega-kernel wrappers are jax.jit-wrapped (ops/pairing_pallas.py), so
+the Mosaic compiles land in the persistent .jax_cache and warm runs
+complete in seconds — round 3 measured >35 min wall for this tool when the
+pallas_calls were dispatched raw (never covered by the persistent cache).
+The same checks now also run automatically as the bench preflight
+(bench.py::bench_pallas_validation, the `pallas_validation` JSON line).
 """
 
 import argparse
