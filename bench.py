@@ -467,21 +467,31 @@ def bench_scaling(cfg, iters):
             )
         points.append(json.loads(out.stdout.strip().splitlines()[-1]))
     base = points[0]["proofs_per_sec"]
-    effs = {
-        str(p["devices"]): round(
-            p["proofs_per_sec"] / (p["devices"] * base), 4
+    ncores = os.cpu_count() or 1
+    # Two efficiency views: `efficiency` is the raw weak-scaling fraction
+    # (throughput(N) / (N x throughput(1))) — on a host with fewer physical
+    # cores than virtual devices it is bounded by ncores/N, measuring CPU
+    # oversubscription, not collectives. `efficiency_vs_core_ceiling`
+    # divides by the achievable ceiling min(N, ncores) x throughput(1),
+    # isolating the sharding/collective overhead the proxy is for.
+    effs, effs_ceiling = {}, {}
+    for p in points:
+        n = p["devices"]
+        effs[str(n)] = round(p["proofs_per_sec"] / (n * base), 4)
+        effs_ceiling[str(n)] = round(
+            p["proofs_per_sec"] / (min(n, ncores) * base), 4
         )
-        for p in points
-    }
-    eff8 = effs["8"]
+    eff8 = effs_ceiling["8"]
     return {
         "metric": "weak_scaling_efficiency_8dev",
         "value": eff8,
-        "unit": "fraction",
+        "unit": "fraction (vs min(N,cores) ceiling)",
         "vs_baseline": round(eff8 / 0.85, 4),  # north star >= 85%
         "per_device_batch": per_dev,
+        "host_cores": ncores,
         "points": points,
         "efficiency": effs,
+        "efficiency_vs_core_ceiling": effs_ceiling,
         "platform": "cpu-mesh",
     }
 

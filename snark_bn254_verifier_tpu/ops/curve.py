@@ -19,6 +19,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..oracle import bn254 as bn
 from . import field as F
@@ -291,6 +292,72 @@ def msm(ops: CurveOps, points, scalars, num_bits: int = 256):
         return acc, None
 
     out, _ = jax.lax.scan(body, acc0, bits)
+    return out
+
+
+def msm_windowed(ops: CurveOps, points, scalars, w: int = 4, num_bits: int = 256):
+    """Windowed shared-doubling MSM (the Straus pass above with w-bit
+    digits): per-point 2^w-entry tables, then num_bits shared doublings +
+    (num_bits/w) * N table-gather additions — ~2.3x fewer Montgomery
+    multiplies than the bit-serial pass at w=4 (which pays a conditional
+    add per point per BIT).
+
+    points: (x:(N,16,*b), y:(N,16,*b), inf:(N,*b)) affine; scalars
+    (N,16,*b) canonical Fr. Returns Jacobian with (16,*b) coords. ``w``
+    must divide LIMB_BITS so digits never span limbs.
+    """
+    assert LIMB_BITS % w == 0 and num_bits % w == 0
+    x, y, inf = points
+    n = x.shape[0]
+    # point axis folded into the field batch: coords (16, N, *b)
+    aff = (jnp.moveaxis(x, 0, 1), jnp.moveaxis(y, 0, 1), inf)
+    base = to_jacobian(ops, aff)
+    zero = _inf_point(ops, aff)
+    # table entries d*P built by a SCAN of uniform T[d] = T[d-1] + P steps
+    # (one mixed add in the graph; the dbl/add ladder would be ~30% fewer
+    # multiplies but 14 inlined Jacobian ops — measured 13x slower XLA:CPU
+    # compile)
+    nsteps = (1 << w) - 2
+
+    def tstep(acc, _):
+        nxt = jacobian_add_mixed(ops, acc, aff)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(tstep, base, None, length=nsteps)
+    tbl = tuple(
+        jnp.concatenate([jnp.stack([zero[i], base[i]], 0), rest[i]], 0)
+        for i in range(3)
+    )
+
+    nwin = num_bits // w
+    mask = np.uint32((1 << w) - 1)
+    digs = []
+    for k in range(nwin):  # high window first
+        bitpos = (nwin - 1 - k) * w
+        limb, sh = divmod(bitpos, LIMB_BITS)
+        digs.append((scalars[:, limb] >> np.uint32(sh)) & mask)
+    digs = jnp.stack(digs, 0).astype(jnp.int32)  # (nwin, N, *b)
+
+    aff0 = jax.tree_util.tree_map(lambda a: a[:, 0], aff[:2]) + (inf[0],)
+    acc0 = _inf_point(ops, aff0)
+
+    def body(acc, dig):  # dig: (N, *b)
+        for _ in range(w):
+            acc = jacobian_double(ops, acc)
+        idx = dig[None, None]  # (1, 1, N, *b)
+        ent = tuple(
+            jnp.take_along_axis(t, idx.astype(jnp.int32), axis=0)[0]
+            for t in tbl
+        )  # coords (16, N, *b)
+        ent_n = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 1, 0), ent)
+
+        def add_one(a, e):
+            return jacobian_add(ops, a, e), None
+
+        acc, _ = jax.lax.scan(add_one, acc, ent_n)
+        return acc, None
+
+    out, _ = jax.lax.scan(body, acc0, digs)
     return out
 
 

@@ -174,8 +174,9 @@ def msm_pippenger_batched(points, scalars, c: int = 8):
 
 
 def msm_best(points, scalars, c: int = 8):
-    """Size-dispatched batched MSM (Straus below PIPPENGER_THRESHOLD,
-    Pippenger above). Same signature/contract as ops/curve.py::msm."""
+    """Size-dispatched batched MSM (windowed Straus below
+    PIPPENGER_THRESHOLD, Pippenger above). Same signature/contract as
+    ops/curve.py::msm."""
     if points[0].shape[0] >= PIPPENGER_THRESHOLD:
         return msm_pippenger_batched(points, scalars, c=c)
-    return C.msm(C.G1_OPS, points, scalars)
+    return C.msm_windowed(C.G1_OPS, points, scalars)

@@ -221,77 +221,137 @@ def miller_loop(p_affine, q_affine):
 # ---------------------------------------------------------------------------
 # Final exponentiation
 # ---------------------------------------------------------------------------
+#
+# Hard-part decomposition, derived numerically from the BN parameter
+# x = X_PARAM (verified in-tree: the signed base-p digits of
+# (p^4 - p^2 + 1)/r are exactly these polynomials in x):
+#
+#   (p^4-p^2+1)/r = p^3 + (6x^2+1) p^2
+#                   - (36x^3+18x^2+12x-1) p - (36x^3+30x^2+18x+2)
+#
+# With A = m^x, B = m^{x^2}, C = m^{x^3} (three cyclotomic exponentiations
+# by the fixed x), each digit power is a tiny Straus multi-exponentiation
+# over {C, B, A, m} whose 5-bit schedule is unrolled below. ~17k Montgomery
+# multiplies per lane versus ~22k (XLA tier) / ~62k (kernel tier) for the
+# previous 254-step digit scan — the hard part stops dominating the
+# pairing. The reference's substrate-bn uses a comparable x-chain
+# (bn::final_exponentiation); this schedule was derived and verified
+# against the oracle independently.
 
-_HARD_DIGITS = bn.HARD_DIGITS  # base-p digits of (p^4 - p^2 + 1)/r
-_NBITS = max(d.bit_length() for d in _HARD_DIGITS)
-_STEP_IDX = np.asarray(
-    [
-        sum(((d >> bit) & 1) << i for i, d in enumerate(_HARD_DIGITS))
-        for bit in range(_NBITS - 1, -1, -1)
-    ],
-    dtype=np.int32,
-)
+_X_BITS = [int(c) for c in bin(bn.X_PARAM)[2:]]
+
+
+def _cyc_exp_x(a):
+    """a^x for the fixed BN parameter, a in the cyclotomic subgroup.
+
+    Both tiers keep the loop ROLLED (fori_loop in kernel mode, lax.scan
+    otherwise) with a select per bit: one cyclotomic squaring + one
+    conditional multiply per bit of x. A fully unrolled static schedule
+    would save the 34 zero-bit multiplies (~1.9k mults/exp) but blows the
+    XLA:CPU compile up past 40 minutes (measured) — the rolled body
+    compiles once and costs 62 x 81 mults/exp, still 3.5x cheaper than
+    the old per-p-digit hard part."""
+    if F.IN_KERNEL:
+        nbits = len(_X_BITS)
+
+        def body_k(i, acc):
+            bit = F.scalar_bit_of(bn.X_PARAM, np.int32(nbits - 2) - i)
+            acc = T.fq12_cyclotomic_sq(acc)
+            return F.select(bit == 1, T.fq12_mul(acc, a), acc)
+
+        return jax.lax.fori_loop(0, nbits - 1, body_k, a)
+    bits = jnp.asarray(_X_BITS[1:], dtype=jnp.uint32)
+
+    def body(acc, bit):
+        acc = T.fq12_cyclotomic_sq(acc)
+        return F.select(bit.astype(jnp.bool_), T.fq12_mul(acc, a), acc), None
+
+    out, _ = jax.lax.scan(body, a, bits)
+    return out
+
+
+def _fe_easy_and_expx(f):
+    """Easy part + the three cyclotomic exponentiations by x:
+    f -> (m, A, B, C) = (f^((p^6-1)(p^2+1)), m^x, m^{x^2}, m^{x^3}).
+    Split from the combine so the Pallas tier can run them as two kernels
+    (the fused kernel's peak liveness blew the ~16 MB VMEM budget by 4 MB
+    on v5e — measured via the bench preflight)."""
+    f1 = T.fq12_conj(f)
+    f2 = T.fq12_inv(f)
+    m = T.fq12_mul(f1, f2)                       # ^(p^6 - 1)
+    m = T.fq12_mul(T.fq12_frobenius(m, 2), m)    # ^(p^2 + 1)
+    A = _cyc_exp_x(m)
+    B = _cyc_exp_x(A)
+    C = _cyc_exp_x(B)
+    return m, A, B, C
+
+
+def _fe_combine(m, A, B, C):
+    """The digit combine of the hard part (see decomposition above).
+
+    t0 = m^{-(36x^3+30x^2+18x+2)} = conj((C^18 B^15 A^9 m)^2)
+    t1 = m^{-(36x^3+18x^2+12x-1)} = conj((C^18 B^9 A^6)^2) * m
+    XLA:CPU compile time is superlinear in the count of inlined
+    wide-multiply ops (12.5 min fully unrolled, measured), so the XLA
+    tier batches independent multiplies on a stacked pair axis and runs
+    the two 5-step Straus ladders as ONE scan over stacked multiplicand
+    schedules. Kernel mode unrolls (scan-over-xs is not Mosaic-friendly)
+    with the ladders SEQUENTIAL and entry products recomputed in place —
+    peak VMEM liveness stays at ~7 Fq12 values instead of ~11 (the
+    recomputed BA costs 2 extra multiplies per lane)."""
+    mul, sq, conj = T.fq12_mul, T.fq12_cyclotomic_sq, T.fq12_conj
+    if F.IN_KERNEL:
+        # fori_loop ladders over a stacked 4-entry schedule: an UNROLLED
+        # ladder body put ~29 Fq12 buffers live at the worst point and blew
+        # Mosaic's ~16 MB scoped-VMEM stack (22.5 MB, measured on v5e via
+        # the bench preflight); the rolled body reuses one iteration's
+        # buffers, peaking at inputs + one 4-entry table + carry.
+        def ladder_k(init, entries):
+            E = jnp.stack(entries, 0)  # (4, 16, 12, S, 128)
+
+            def body(i, acc):
+                e = E[0]
+                for d in range(1, 4):
+                    e = jnp.where(i == d, E[d], e)
+                return mul(sq(acc), e)
+
+            return sq(jax.lax.fori_loop(0, 4, body, init))
+
+        BA = mul(B, A)
+        acc0 = ladder_k(C, [BA, B, mul(C, B), mul(BA, m)])
+        acc1 = ladder_k(C, [B, A, mul(C, A), B])
+    else:
+        # one batched multiply: BA, CB, CA (tower ops broadcast over
+        # trailing batch dims; stack on a new axis after the component axes)
+        lhs = jnp.stack([B, C, C], 2)
+        rhs = jnp.stack([A, B, A], 2)
+        prod = mul(lhs, rhs)
+        BA, CB, CA = prod[:, :, 0], prod[:, :, 1], prod[:, :, 2]
+        BAm = mul(BA, m)
+        seq0 = [BA, B, CB, BAm]
+        seq1 = [B, A, CA, B]
+        entries = jnp.stack(
+            [jnp.stack([e0, e1], 2) for e0, e1 in zip(seq0, seq1)], 0
+        )  # (4, 16, 12, 2, *b)
+
+        def ladder(acc, ent):  # acc (16, 12, 2, *b)
+            return mul(sq(acc), ent), None
+
+        acc, _ = jax.lax.scan(ladder, jnp.stack([C, C], 2), entries)
+        acc = sq(acc)
+        acc0, acc1 = acc[:, :, 0], acc[:, :, 1]
+    t0 = conj(acc0)
+    t1 = mul(conj(acc1), m)
+    # t2 = m^{6x^2+1} = (B^3)^2 * m
+    t2 = mul(sq(mul(sq(B), B)), m)
+    out = mul(t0, T.fq12_frobenius(t1, 1))
+    out = mul(out, T.fq12_frobenius(t2, 2))
+    return mul(out, T.fq12_frobenius(m, 3))
 
 
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part, then digit-Straus hard part with
-    cyclotomic squarings and a 16-entry subset-product table."""
-    f1 = T.fq12_conj(f)
-    f2 = T.fq12_inv(f)
-    f = T.fq12_mul(f1, f2)                       # ^(p^6 - 1)
-    f = T.fq12_mul(T.fq12_frobenius(f, 2), f)    # ^(p^2 + 1)
-
-    bases = [f] + [T.fq12_frobenius(f, i) for i in range(1, len(_HARD_DIGITS))]
-    one = T.fq12_one(f.shape[2:])
-    if F.IN_KERNEL:
-        # kernel mode: conditional multiplies per digit bit (no gathers from
-        # captured tables)
-        def body_k(i, acc):
-            shift = np.int32(_NBITS - 1) - i
-            acc = T.fq12_cyclotomic_sq(acc)
-            for digit, base in zip(_HARD_DIGITS, bases):
-                bit = F.scalar_bit_of(digit, shift)
-                acc = F.select(bit == 1, T.fq12_mul(acc, base), acc)
-            return acc
-
-        return jax.lax.fori_loop(0, _NBITS, body_k, one)
-    # subset-product table built with a scan (one fq12_mul in the graph):
-    # entry[mask] = prod of bases[i] over set bits of mask
-    ntbl = 1 << len(bases)
-    table = jnp.stack([one] + bases + [one] * (ntbl - 1 - len(bases)), axis=0)
-    perm = [0] + [1 << i for i in range(len(bases))]  # masks already filled
-    fill = [m for m in range(1, ntbl) if m & (m - 1)]
-    # position in `table` of each mask during construction
-    pos_of_mask = {m: i for i, m in enumerate(perm)}
-    fills = []
-    for m in fill:
-        low = m & -m
-        pos_of_mask[m] = len(pos_of_mask)
-        fills.append((pos_of_mask[m], pos_of_mask[m ^ low], pos_of_mask[low]))
-    fills_arr = jnp.asarray(fills, dtype=jnp.int32)
-
-    def fill_body(tbl, idxs):
-        dst, a_i, b_i = idxs[0], idxs[1], idxs[2]
-        entry = T.fq12_mul(tbl[a_i], tbl[b_i])
-        return tbl.at[dst].set(entry), None
-
-    table, _ = jax.lax.scan(fill_body, table, fills_arr)
-    # map step indices (masks) to table positions
-    mask_to_pos = np.zeros(ntbl, dtype=np.int32)
-    for m, i in pos_of_mask.items():
-        mask_to_pos[m] = i
-    table_stacked = table
-
-    idx = jnp.asarray(mask_to_pos[_STEP_IDX])
-
-    def body(acc, i):
-        acc = T.fq12_cyclotomic_sq(acc)
-        entry = table_stacked[i]
-        acc = T.fq12_mul(acc, entry)
-        return acc, None
-
-    out, _ = jax.lax.scan(body, one, idx)
-    return out
+    """f^((p^12-1)/r): easy part, then the x-chain hard part above."""
+    return _fe_combine(*_fe_easy_and_expx(f))
 
 
 def _miller_product(pairs_p, pairs_q):

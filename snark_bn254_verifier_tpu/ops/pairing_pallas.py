@@ -75,43 +75,107 @@ def _fq12_product_kernel(n, f_ref, o_ref):
         o_ref[...] = acc
 
 
-def _final_exp_kernel(f_ref, o_ref):
+def _fe_easy_expx_kernel(f_ref, m_ref, a_ref, b_ref, c_ref):
+    """Final exp part 1: easy part + the three exponentiations by x.
+    Split in two launches because the fused kernel's peak VMEM liveness
+    measured 20.1 MB against the v5e ~16 MB scoped budget."""
     with F.kernel_mode():
-        o_ref[...] = PR.final_exponentiation(f_ref[...])
+        m, a, b, c = PR._fe_easy_and_expx(f_ref[...])
+        m_ref[...] = m
+        a_ref[...] = a
+        b_ref[...] = b
+        c_ref[...] = c
 
 
-def _msm_affine_kernel(n_points, px_ref, py_ref, pinf_ref, sc_ref,
-                       ox_ref, oy_ref, oinf_ref):
-    """Shared-Straus MSM over n_points per lane + in-kernel affine
-    normalization. Scalars canonical Fr limbs (16, S, 128) per point."""
+def _fe_combine_kernel(m_ref, a_ref, b_ref, c_ref, o_ref):
+    """Final exp part 2: the digit combine (sequential low-liveness form)."""
+    with F.kernel_mode():
+        o_ref[...] = PR._fe_combine(
+            m_ref[...], a_ref[...], b_ref[...], c_ref[...]
+        )
+
+
+MSM_WINDOW_W = 4       # digit width; must divide 16 (limb bits)
+MSM_CHUNK_POINTS = 3   # points per kernel launch — VMEM budget: the 2^w
+                       # per-point Jacobian tables are ~3 MB/point at
+                       # TILE_S=8 (16 entries x 3 coords x 16 limb planes
+                       # x 4 KB), and v5e VMEM is ~16 MB/core
+
+
+def _msm_windowed_kernel(n_points, w, px_ref, py_ref, pinf_ref, sc_ref,
+                         jx_ref, jy_ref, jz_ref):
+    """Windowed shared-doubling MSM over one chunk of points: per-point
+    2^w-entry Jacobian tables (built once, resident in VMEM), then a
+    fori_loop over the 256/w windows — w doublings shared by all points +
+    one FULL Jacobian add per point per window (a select tree picks the
+    table entry; the zero digit hits the infinity entry, which
+    jacobian_add absorbs branch-free). ~2.3x fewer Montgomery multiplies
+    than the previous bit-serial kernel (conditional add per point per
+    BIT). Emits the chunk's JACOBIAN partial; combination across chunks
+    and the single affine normalization happen in
+    _jacobian_combine_kernel, so the 254-bit Fermat inversion is paid once
+    per MSM, not once per chunk."""
     with F.kernel_mode():
         ops = C.G1_OPS
-        pts = [
-            (px_ref[j], py_ref[j], pinf_ref[j] != 0) for j in range(n_points)
-        ]
-        scs = [sc_ref[j] for j in range(n_points)]  # (16, S, 128)
-        like = pts[0][0]
+        nent = 1 << w
+        tables = []
+        for j in range(n_points):
+            aff = (px_ref[j], py_ref[j], pinf_ref[j] != 0)
+            base = C.to_jacobian(ops, aff)
+            like = base[0]
+            zero = (ops.one(like), ops.one(like), ops.zero(like))
+            tbl = [zero, base]
+            for d in range(2, nent):
+                tbl.append(
+                    C.jacobian_double(ops, tbl[d // 2])
+                    if d % 2 == 0
+                    else C.jacobian_add_mixed(ops, tbl[d - 1], aff)
+                )
+            tables.append(tbl)
+        scs = [sc_ref[j] for j in range(n_points)]
+        like = tables[0][1][0]
         acc0 = (ops.one(like), ops.one(like), ops.zero(like))
+        nwin = 256 // w
 
         def body(i, acc):
-            acc = C.jacobian_double(ops, acc)
-            bit_index = np.int32(255) - i
-            limb = bit_index // 16
-            shift = (bit_index % 16).astype(jnp.uint32)
-            for pt, s in zip(pts, scs):
+            bitpos = (np.int32(nwin - 1) - i) * np.int32(w)
+            limb = bitpos // 16
+            shift = (bitpos % 16).astype(jnp.uint32)
+            for _ in range(w):
+                acc = C.jacobian_double(ops, acc)
+            for j in range(n_points):
+                s = scs[j]
                 # no value-level dynamic_slice in Mosaic: select the limb row
                 limb_row = s[0]
-                for j in range(1, 16):
-                    limb_row = jnp.where(limb == j, s[j], limb_row)
-                bit = (limb_row >> shift) & np.uint32(1)
-                cand = C.jacobian_add_mixed(ops, acc, pt)
-                take = bit == 1
-                acc = jax.tree_util.tree_map(
-                    lambda a_, b_: F.select(take, b_, a_), acc, cand
-                )
+                for t in range(1, 16):
+                    limb_row = jnp.where(limb == t, s[t], limb_row)
+                dig = (limb_row >> shift) & np.uint32(nent - 1)
+                ent = tables[j][0]
+                for d in range(1, nent):
+                    take = dig == np.uint32(d)
+                    ent = jax.tree_util.tree_map(
+                        lambda a_, b_, _t=take: F.select(_t, b_, a_),
+                        ent,
+                        tables[j][d],
+                    )
+                acc = C.jacobian_add(ops, acc, ent)
             return acc
 
-        acc = jax.lax.fori_loop(0, 256, body, acc0)
+        acc = jax.lax.fori_loop(0, nwin, body, acc0)
+        jx_ref[...] = acc[0]
+        jy_ref[...] = acc[1]
+        jz_ref[...] = acc[2]
+
+
+def _jacobian_combine_kernel(n_chunks, jx_ref, jy_ref, jz_ref,
+                             ox_ref, oy_ref, oinf_ref):
+    """Add n_chunks Jacobian partials (leading chunk axis) and normalize to
+    affine — ONE in-kernel Fermat inversion for the whole MSM."""
+    with F.kernel_mode():
+        ops = C.G1_OPS
+        acc = (jx_ref[0], jy_ref[0], jz_ref[0])
+        for i in range(1, n_chunks):
+            acc = C.jacobian_add(ops, acc, (jx_ref[i], jy_ref[i], jz_ref[i]))
         ax, ay, ainf = C.to_affine(ops, acc)
         ox_ref[...] = ax
         oy_ref[...] = ay
@@ -169,22 +233,74 @@ def _product_call(n_pairs: int, rows: int, interpret: bool, vma: tuple = ()):
 
 
 @functools.lru_cache(maxsize=None)
-def _final_exp_call(rows: int, interpret: bool, vma: tuple = ()):
+def _fe_easy_expx_call(rows: int, interpret: bool, vma: tuple = ()):
+    fq12_shape = jax.ShapeDtypeStruct(
+        (L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
+    )
     return pl.pallas_call(
-        _final_exp_kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
-        ),
+        _fe_easy_expx_kernel,
+        out_shape=(fq12_shape,) * 4,
         grid=(rows // TILE_S,),
         in_specs=[_bspec((L, 12, TILE_S, 128))],
-        out_specs=_bspec((L, 12, TILE_S, 128)),
+        out_specs=(_bspec((L, 12, TILE_S, 128)),) * 4,
         interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _msm_call(n_points: int, rows: int, interpret: bool, vma: tuple = ()):
-    kernel = functools.partial(_msm_affine_kernel, n_points)
+def _fe_combine_call(rows: int, interpret: bool, vma: tuple = ()):
+    # peak liveness of the combine measured 17.5 MB on v5e (inputs + the
+    # 4-entry ladder tables + carry/temporaries) against Mosaic's default
+    # 16 MB scoped budget; the physical per-core VMEM is far larger, so
+    # raise the per-kernel limit instead of splitting a third time
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=28 * 1024 * 1024
+    )
+    return pl.pallas_call(
+        _fe_combine_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
+        ),
+        grid=(rows // TILE_S,),
+        in_specs=[_bspec((L, 12, TILE_S, 128))] * 4,
+        out_specs=_bspec((L, 12, TILE_S, 128)),
+        interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_chunk_call(n_points: int, w: int, rows: int, interpret: bool,
+                    vma: tuple = ()):
+    kernel = functools.partial(_msm_windowed_kernel, n_points, w)
+    _vma = frozenset(vma)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32, vma=_vma),
+            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32, vma=_vma),
+            jax.ShapeDtypeStruct((L, rows, 128), jnp.uint32, vma=_vma),
+        ),
+        grid=(rows // TILE_S,),
+        in_specs=[
+            _bspec((n_points, L, TILE_S, 128)),
+            _bspec((n_points, L, TILE_S, 128)),
+            _bspec((n_points, TILE_S, 128)),
+            _bspec((n_points, L, TILE_S, 128)),
+        ],
+        out_specs=(
+            _bspec((L, TILE_S, 128)),
+            _bspec((L, TILE_S, 128)),
+            _bspec((L, TILE_S, 128)),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jacobian_combine_call(n_chunks: int, rows: int, interpret: bool,
+                           vma: tuple = ()):
+    kernel = functools.partial(_jacobian_combine_kernel, n_chunks)
     _vma = frozenset(vma)
     return pl.pallas_call(
         kernel,
@@ -195,10 +311,9 @@ def _msm_call(n_points: int, rows: int, interpret: bool, vma: tuple = ()):
         ),
         grid=(rows // TILE_S,),
         in_specs=[
-            _bspec((n_points, L, TILE_S, 128)),
-            _bspec((n_points, L, TILE_S, 128)),
-            _bspec((n_points, TILE_S, 128)),
-            _bspec((n_points, L, TILE_S, 128)),
+            _bspec((n_chunks, L, TILE_S, 128)),
+            _bspec((n_chunks, L, TILE_S, 128)),
+            _bspec((n_chunks, L, TILE_S, 128)),
         ],
         out_specs=(
             _bspec((L, TILE_S, 128)),
@@ -256,10 +371,11 @@ def _final_exp_mega_impl(f, interpret):
 
     batch = f.shape[-1]
     rows = _rows_for(batch)
-    return _from_rows(
-        _final_exp_call(rows, interpret, out_vma(f))(_to_rows(f, batch, rows)),
-        batch,
+    vma = out_vma(f)
+    m, a, b, c = _fe_easy_expx_call(rows, interpret, vma)(
+        _to_rows(f, batch, rows)
     )
+    return _from_rows(_fe_combine_call(rows, interpret, vma)(m, a, b, c), batch)
 
 
 def _msm_affine_mega_impl(points, scalars, interpret):
@@ -268,11 +384,23 @@ def _msm_affine_mega_impl(points, scalars, interpret):
     px, py, pinf = points
     n, _, batch = px.shape
     rows = _rows_for(batch)
-    ox, oy, oinf = _msm_call(n, rows, interpret, out_vma(px, py, pinf, scalars))(
-        _to_rows(px, batch, rows),
-        _to_rows(py, batch, rows),
-        _to_rows(pinf.astype(jnp.uint32), batch, rows),
-        _to_rows(scalars, batch, rows),
+    vma = out_vma(px, py, pinf, scalars)
+    pxr = _to_rows(px, batch, rows)
+    pyr = _to_rows(py, batch, rows)
+    pinfr = _to_rows(pinf.astype(jnp.uint32), batch, rows)
+    scr = _to_rows(scalars, batch, rows)
+    partials = []
+    for lo in range(0, n, MSM_CHUNK_POINTS):
+        hi = min(lo + MSM_CHUNK_POINTS, n)
+        jx, jy, jz = _msm_chunk_call(
+            hi - lo, MSM_WINDOW_W, rows, interpret, vma
+        )(pxr[lo:hi], pyr[lo:hi], pinfr[lo:hi], scr[lo:hi])
+        partials.append((jx, jy, jz))
+    jxs = jnp.stack([p[0] for p in partials], 0)
+    jys = jnp.stack([p[1] for p in partials], 0)
+    jzs = jnp.stack([p[2] for p in partials], 0)
+    ox, oy, oinf = _jacobian_combine_call(len(partials), rows, interpret, vma)(
+        jxs, jys, jzs
     )
     return (
         _from_rows(ox, batch),

@@ -57,6 +57,34 @@ from ..utils.transcript import ALPHA, BETA, GAMMA, ZETA, Transcript
 R = bn.R
 
 
+def _bucket_size(b: int) -> int:
+    """Snap a batch size to the next power of two (min 8).
+
+    Every distinct trailing batch dim compiles its own executables, and the
+    pairing pipeline costs minutes of XLA compile per shape; bucketing
+    collapses all small-batch callers (tests, singles, odd batches) onto a
+    handful of shared shapes. Padded lanes are zeros: zero points are
+    infinity lanes (pairing contributes 1, MSM contributes identity) and
+    the `valid` mask for them is False; callers slice results back to b."""
+    r = 8
+    while r < b:
+        r *= 2
+    return r
+
+
+def _pad_trailing(tree, b_to: int):
+    """Zero-pad the trailing axis of every array leaf to b_to."""
+
+    def pad(a):
+        if a.shape[-1] == b_to:
+            return a
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, b_to - a.shape[-1])]
+        xp = np if isinstance(a, (np.ndarray, np.generic)) else jnp
+        return xp.pad(a, widths)
+
+    return jax.tree_util.tree_map(pad, tree)
+
+
 def _bcast_pt_g1(pt, b: int):
     """Single oracle G1 point -> affine tuple broadcast to batch b (numpy —
     transfers happen at jit boundaries only)."""
@@ -116,7 +144,7 @@ def _g16_prepare(n_inputs: int, k_points, scalars):
     k0 = jax.tree_util.tree_map(lambda a: a[0], k_points)
     if n_inputs > 0:
         krest = jax.tree_util.tree_map(lambda a: a[1:], k_points)
-        acc = C.msm(C.G1_OPS, krest, scalars)
+        acc = C.msm_windowed(C.G1_OPS, krest, scalars)
         acc = C.jacobian_add_mixed(C.G1_OPS, acc, k0)
     else:
         acc = C.to_jacobian(C.G1_OPS, k0)
@@ -144,15 +172,25 @@ def _pippenger_affine_b(points, scalars, c=8):
 
 def _msm_affine(points, scalars):
     """Batched MSM -> affine. Size-dispatched: Pippenger buckets above
-    ops/msm.py::PIPPENGER_THRESHOLD, else the mega Pallas kernel on TPU or
-    the jitted XLA Straus scan elsewhere."""
+    ops/msm.py::PIPPENGER_THRESHOLD, else the chunked windowed Pallas
+    kernels on TPU or the jitted XLA windowed scan elsewhere. Batch
+    bucketed (see _bucket_size)."""
+    b = points[0].shape[-1]
+    bt = _bucket_size(b)
+    if bt != b:
+        points = _pad_trailing(points, bt)
+        scalars = _pad_trailing(jnp.asarray(scalars), bt)
     if points[0].shape[0] >= M.PIPPENGER_THRESHOLD:
-        return _pippenger_affine_b(points, jnp.asarray(scalars))
-    if F.use_pallas():
+        out = _pippenger_affine_b(points, jnp.asarray(scalars))
+    elif F.use_pallas():
         from ..ops import pairing_pallas as PP
 
-        return PP.msm_affine_mega(points, jnp.asarray(scalars))
-    return _msm_kernel_b(points[0].shape[0], points, scalars)
+        out = PP.msm_affine_mega(points, jnp.asarray(scalars))
+    else:
+        out = _msm_kernel_b(points[0].shape[0], points, scalars)
+    if bt != b:
+        out = jax.tree_util.tree_map(lambda a: a[..., :b], out)
+    return out
 
 
 def _groth16_pipeline(n_inputs, k_points, scalars, ar, bs, krs, gamma_g2,
@@ -303,7 +341,7 @@ class Groth16BatchVerifier:
 def _msm_kernel_b(n_points: int, points, scalars):
     """Batched MSM -> affine result. points: (n,16,B)-stacked tuple."""
     del n_points
-    out = C.msm(C.G1_OPS, points, scalars)
+    out = C.msm_windowed(C.G1_OPS, points, scalars)
     return C.to_affine(C.G1_OPS, out)
 
 

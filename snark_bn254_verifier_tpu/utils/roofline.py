@@ -143,10 +143,12 @@ def _leaf_costs() -> dict:
         "fe_easy": _count(fe_easy),
         "fq12_mul": _count(lambda: T.fq12_mul(f12, f12)),
         "fq12_cyc_sq": _count(lambda: T.fq12_cyclotomic_sq(f12)),
+        "frobenius": _count(lambda: T.fq12_frobenius(f12, 1)),
         "jac_double": _count(lambda: C.jacobian_double(C.G1_OPS, jac)),
         "jac_add_mixed": _count(
             lambda: C.jacobian_add_mixed(C.G1_OPS, jac, (px, py, pinf))
         ),
+        "jac_add_full": _count(lambda: C.jacobian_add(C.G1_OPS, jac, jac)),
         "to_affine": _count(lambda: C.to_affine(C.G1_OPS, jac)),
     }
 
@@ -165,17 +167,20 @@ def miller_loop_mults() -> int:
 
 @functools.lru_cache(maxsize=None)
 def final_exp_mults() -> int:
-    """Easy part + 11 subset-product table fills + _NBITS-step hard scan."""
+    """x-chain hard part (ops/pairing.py::final_exponentiation): easy part,
+    3 rolled cyclotomic exponentiations by x (one squaring + one selected
+    multiply per bit), and the fixed Straus combine (12 squarings, 18
+    multiplies, 3 Frobenius — counted from the schedule in the source).
+    Composed from measured leaf costs (tracing the full chain takes
+    minutes on a small host)."""
     from ..ops import pairing as PR
 
     c = _leaf_costs()
-    n_bases = len(PR._HARD_DIGITS)
-    n_fills = (1 << n_bases) - 1 - n_bases
-    return (
-        c["fe_easy"]
-        + n_fills * c["fq12_mul"]
-        + PR._NBITS * (c["fq12_cyc_sq"] + c["fq12_mul"])
-    )
+    # rolled exp_by_x: both branches execute every bit (select keeps one)
+    n_bits = len(PR._X_BITS) - 1
+    exp_x = n_bits * (c["fq12_cyc_sq"] + c["fq12_mul"])
+    chain = 12 * c["fq12_cyc_sq"] + 18 * c["fq12_mul"] + 3 * c["frobenius"]
+    return c["fe_easy"] + 3 * exp_x + chain
 
 
 def pairing_product_mults(n_pairs: int) -> int:
@@ -189,10 +194,24 @@ def pairing_product_mults(n_pairs: int) -> int:
 
 
 def straus_msm_mults(n_points: int) -> int:
-    """Shared-doubling Straus (ops/curve.py::msm / the Pallas mega MSM):
-    256 bits x (1 double + n conditional mixed adds, both branches)."""
+    """Bit-serial shared-doubling Straus (ops/curve.py::msm): 256 bits x
+    (1 double + n conditional mixed adds, both branches). Kept for
+    comparison; the pipelines now run the windowed variant below."""
     c = _leaf_costs()
     return 256 * (c["jac_double"] + n_points * c["jac_add_mixed"])
+
+
+def windowed_msm_mults(n_points: int, w: int = 4) -> int:
+    """Windowed Straus (ops/curve.py::msm_windowed / the chunked Pallas
+    kernels): per-point table of 2^w - 2 sequential mixed adds (the XLA
+    tier's scan; the Pallas kernel's dbl/add ladder is slightly cheaper —
+    this is the upper bound), 256 shared doublings, one FULL Jacobian add
+    per point per window."""
+    c = _leaf_costs()
+    nent = 1 << w
+    table = n_points * (nent - 2) * c["jac_add_mixed"]
+    nwin = 256 // w
+    return table + 256 * c["jac_double"] + nwin * n_points * c["jac_add_full"]
 
 
 def groth16_mults_per_proof(n_inputs: int = 2) -> int:
@@ -201,7 +220,7 @@ def groth16_mults_per_proof(n_inputs: int = 2) -> int:
     MSM folding k0 with scalar 1, then the 3-pair product)."""
     c = _leaf_costs()
     return (
-        straus_msm_mults(n_inputs + 1)
+        windowed_msm_mults(n_inputs + 1)
         + c["to_affine"]
         + pairing_product_mults(3)
     )
@@ -215,9 +234,9 @@ def plonk_mults_per_proof(n_qcp: int = 0) -> int:
     n_lin = 10 + n_qcp
     n_combo = n_lin + 4
     return (
-        straus_msm_mults(n_lin)
-        + straus_msm_mults(n_combo)
-        + straus_msm_mults(2)
+        windowed_msm_mults(n_lin)
+        + windowed_msm_mults(n_combo)
+        + windowed_msm_mults(2)
         + 3 * c["to_affine"]
         + pairing_product_mults(2)
     )

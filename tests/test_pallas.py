@@ -7,7 +7,7 @@ tier fails here on CPU instead of surfacing as a wrong answer on the chip.
 
 Kernel bodies under test, against the pure-Python oracle:
   * ops/field_pallas.py::_mont_kernel        (mont_mul_pallas, Fq and Fr)
-  * ops/pairing_pallas.py::_msm_affine_kernel
+  * ops/pairing_pallas.py::_msm_windowed_kernel + _jacobian_combine_kernel
 including infinity lanes and zero scalars. The pairing mega-kernels
 (_miller_kernel, _fq12_product_kernel, _final_exp_kernel) are validated on
 real hardware by tools/validate_pallas_tpu.py instead — see the gated
@@ -84,15 +84,19 @@ def small_tiles():
     PP.TILE_S = 1
     PP._miller_call.cache_clear()
     PP._product_call.cache_clear()
-    PP._final_exp_call.cache_clear()
-    PP._msm_call.cache_clear()
+    PP._fe_easy_expx_call.cache_clear()
+    PP._fe_combine_call.cache_clear()
+    PP._msm_chunk_call.cache_clear()
+    PP._jacobian_combine_call.cache_clear()
     PP._clear_mega_jit_caches()
     yield
     PP.TILE_S = old
     PP._miller_call.cache_clear()
     PP._product_call.cache_clear()
-    PP._final_exp_call.cache_clear()
-    PP._msm_call.cache_clear()
+    PP._fe_easy_expx_call.cache_clear()
+    PP._fe_combine_call.cache_clear()
+    PP._msm_chunk_call.cache_clear()
+    PP._jacobian_combine_call.cache_clear()
     PP._clear_mega_jit_caches()
 
 
