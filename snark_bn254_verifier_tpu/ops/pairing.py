@@ -97,15 +97,31 @@ def _add_step(t, q):
     return (x3, y3, z3), (c0, c1, c3)
 
 
-def _mul_by_line(f, line, xp, yp):
+def _mul_by_line(f, line, xp, yp, skip=None):
     """f * l where l = (l00, 0, 0) + (l10, l11, 0) w in Fq6 coefficients:
-    l00 = c0*yP, l10 = c1*xP, l11 = c3. 17 Fq2 products in two wide calls."""
+    l00 = c0*yP, l10 = c1*xP, l11 = c3. 17 Fq2 products in two wide calls.
+
+    ``skip`` (optional bool mask over the batch) turns the multiply into an
+    identity for masked lanes — used by the shared-chain mixed product for
+    infinity pairs (e(O, Q) = e(P, O) = 1), where the per-pair final mask of
+    ``miller_loop`` is unavailable."""
     c0, c1, c3 = line
     l00, l10 = (
         T.fq2_mul_fq(c0, yp),
         T.fq2_mul_fq(c1, xp),
     )
     l11 = c3
+    return _mul_by_l(f, l00, l10, l11, skip)
+
+
+def _mul_by_l(f, l00, l10, l11, skip=None):
+    """Core sparse multiply f * ((l00,0,0) + (l10,l11,0) w)."""
+    if skip is not None:
+        one = T.fq2_one(l00.shape[2:])
+        zero = jnp.zeros_like(l00)
+        l00 = T.fq2_select(skip, one, l00)
+        l10 = T.fq2_select(skip, zero, l10)
+        l11 = T.fq2_select(skip, zero, l11)
     f0, f1 = T.fq12_half(f, 0), T.fq12_half(f, 1)
     a0, a1, a2 = T.fq6_c(f1, 0), T.fq6_c(f1, 1), T.fq6_c(f1, 2)
     b0 = T.fq2_add(T.fq6_c(f0, 0), a0)
@@ -378,6 +394,140 @@ def _miller_product(pairs_p, pairs_q):
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Mixed Miller product: one shared squaring chain over at most one variable
+# pair plus any number of fixed-Q pairs with precomputed line tables
+# (ops/lines.py). Covers both protocols' pairing checks:
+#   Groth16: 1 variable pair e(A,B) + fixed e(L,-gamma), e(C,-delta)
+#   PlonK/KZG: 0 variable pairs + fixed e(F,[1]_2), e(-W,[x]_2)
+# The chain shares ONE f^2 per iteration across every pair (vs one chain per
+# pair in ``_miller_product``), and fixed pairs skip all G2 step arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _fixed_line_apply(f, c1row, c3row, xp, yp, p_inf):
+    """Multiply f by the affine-normalized precomputed line (c0 == 1):
+    l00 = (yP, 0), l10 = c1*xP, l11 = c3. Infinity lanes are identity."""
+    nb = xp.ndim - 1
+    c1b = c1row.reshape(c1row.shape[:2] + (1,) * nb)
+    c3b = c3row.reshape(c3row.shape[:2] + (1,) * nb)
+    l00 = T.fq2_from_parts(yp, jnp.zeros_like(yp))
+    l10 = T.fq2_mul_fq(c1b, xp)
+    l11 = jnp.broadcast_to(c3b, c3b.shape[:2] + xp.shape[1:])
+    return _mul_by_l(f, l00, l10, l11, skip=p_inf)
+
+
+def miller_product_mixed(var_p, var_q, fixed_ps, tables):
+    """Product of Miller loops sharing one f-squaring chain.
+
+    var_p/var_q: one variable pair ((x, y, inf) affine tuples, Fq2 arrays
+    for Q) or None for a fixed-only product (PlonK/KZG). fixed_ps: tuple of
+    affine G1 tuples; tables: matching tuple of ops/lines.py::G2LineTable
+    field tuples (arrays (STEPS,16,2) / (2,16,2), batch independent).
+
+    Semantics match multiplying the individual ``miller_loop`` values
+    (infinity pairs contribute 1); the value may differ by an Fq2-subfield
+    factor, which ``final_exponentiation`` annihilates.
+    """
+    nf = len(fixed_ps)
+    assert nf == len(tables) and (nf > 0 or var_p is not None)
+    some_x = fixed_ps[0][0] if nf else var_p[0]
+    batch = some_x.shape[1:]
+    f0 = T.fq12_one(batch)
+
+    has_var = var_p is not None
+    if has_var:
+        xp, yp, p_inf = var_p
+        xq, yq, q_inf = var_q
+        skip_v = jnp.logical_or(p_inf, q_inf)
+        q = (xq, yq)
+        t0 = (xq, yq, T.fq2_one(xq.shape[2:]))
+    fixed_inf = [p[2] for p in fixed_ps]
+
+    def step(f, t, take, rows):
+        # rows: per-table (dbl_c1, dbl_c3, add_c1, add_c3) row arrays
+        f = T.fq12_sq(f)
+        if has_var:
+            t, line = _dbl_step(t)
+            f = _mul_by_line(f, line, xp, yp, skip=skip_v)
+        for j in range(nf):
+            dc1, dc3, _, _ = rows[j]
+            f = _fixed_line_apply(
+                f, dc1, dc3, fixed_ps[j][0], fixed_ps[j][1], fixed_inf[j]
+            )
+        f2 = f
+        if has_var:
+            t2, line2 = _add_step(t, q)
+            f2 = _mul_by_line(f2, line2, xp, yp, skip=skip_v)
+        else:
+            t2 = t
+        for j in range(nf):
+            _, _, ac1, ac3 = rows[j]
+            f2 = _fixed_line_apply(
+                f2, ac1, ac3, fixed_ps[j][0], fixed_ps[j][1], fixed_inf[j]
+            )
+        f = F.select(take, f2, f)
+        if has_var:
+            t = jax.tree_util.tree_map(
+                lambda a_, b_: F.select(take, b_, a_), t, t2
+            )
+        return f, t
+
+    t_init = t0 if has_var else ()
+    if F.IN_KERNEL:
+        nbits = bn.ATE_LOOP_COUNT.bit_length()
+
+        def body_k(i, carry):
+            f, t = carry
+            bit = F.scalar_bit_of(bn.ATE_LOOP_COUNT, np.int32(nbits - 2) - i)
+            rows = [
+                (tb.dbl_c1[i], tb.dbl_c3[i], tb.add_c1[i], tb.add_c3[i])
+                for tb in tables
+            ]
+            return step(f, t, bit == 1, rows)
+
+        f, t = jax.lax.fori_loop(0, nbits - 1, body_k, (f0, t_init))
+    else:
+        bits = jnp.asarray(_MILLER_BITS, dtype=jnp.uint32)
+        xs = (
+            bits,
+            tuple(
+                (
+                    jnp.asarray(tb.dbl_c1),
+                    jnp.asarray(tb.dbl_c3),
+                    jnp.asarray(tb.add_c1),
+                    jnp.asarray(tb.add_c3),
+                )
+                for tb in tables
+            ),
+        )
+
+        def body(carry, x):
+            bit, rows = x
+            f, t = step(carry[0], carry[1], bit.astype(jnp.bool_), rows)
+            return (f, t), None
+
+        (f, t), _ = jax.lax.scan(body, (f0, t_init), xs)
+
+    # Frobenius correction adds (static tail)
+    if has_var:
+        q1 = _g2_frobenius_affine(q, 1)
+        q2 = _g2_frobenius_affine(q, 2)
+        q2 = (q2[0], T.fq2_neg(q2[1]))
+        t, line = _add_step(t, q1)
+        f = _mul_by_line(f, line, xp, yp, skip=skip_v)
+        t, line = _add_step(t, q2)
+        f = _mul_by_line(f, line, xp, yp, skip=skip_v)
+    for k in range(2):
+        for j in range(nf):
+            tc1 = jnp.asarray(tables[j].tail_c1)[k]
+            tc3 = jnp.asarray(tables[j].tail_c3)[k]
+            f = _fixed_line_apply(
+                f, tc1, tc3, fixed_ps[j][0], fixed_ps[j][1], fixed_inf[j]
+            )
+    return f
+
+
 def pairing(p_affine, q_affine):
     return final_exponentiation(miller_loop(p_affine, q_affine))
 
@@ -407,6 +557,36 @@ def pairing_batch_is_one(pairs_p, pairs_q):
 miller_loop_jit = jax.jit(miller_loop)
 miller_product_jit = jax.jit(_miller_product)
 final_exponentiation_jit = jax.jit(final_exponentiation)
+_miller_mixed_var_jit = jax.jit(
+    lambda vp, vq, fps, tbs: miller_product_mixed(vp, vq, fps, tbs)
+)
+_miller_mixed_novar_jit = jax.jit(
+    lambda fps, tbs: miller_product_mixed(None, None, fps, tbs)
+)
+
+
+def miller_mixed_hostcall(var_p, var_q, fixed_ps, tables):
+    """Jitted mixed Miller product (XLA tier); tables may be numpy."""
+    tables = tuple(
+        type(tb)(*(jnp.asarray(a) for a in tb)) for tb in tables
+    )
+    fixed_ps = tuple(tuple(jnp.asarray(x) for x in p) for p in fixed_ps)
+    if var_p is None:
+        return _miller_mixed_novar_jit(fixed_ps, tables)
+    return _miller_mixed_var_jit(var_p, var_q, fixed_ps, tables)
+
+
+def pairing_mixed_hostcall(var_p, var_q, fixed_ps, tables):
+    """final_exp(mixed Miller product), tier-dispatched (Pallas on TPU)."""
+    if F.use_pallas():
+        from . import pairing_pallas as PP
+
+        return PP.final_exp_mega(
+            PP.miller_mixed_mega(var_p, var_q, fixed_ps, tables)
+        )
+    return final_exponentiation_jit(
+        miller_mixed_hostcall(var_p, var_q, fixed_ps, tables)
+    )
 
 
 def pairing_hostcall(p_affine, q_affine):

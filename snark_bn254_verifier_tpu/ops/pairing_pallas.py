@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import curve as C
 from . import field as F
+from . import lines as LN_mod
 from . import pairing as PR
 from . import tower as T
 
@@ -65,6 +66,49 @@ def _miller_kernel(px_ref, py_ref, qx_ref, qy_ref, o_ref):
         q_inf = jnp.logical_and(T.fq2_is_zero(xq), T.fq2_is_zero(yq))
         f = PR.miller_loop((xp, yp, p_inf), (xq, yq, q_inf))
         o_ref[0] = f                   # (16, 12, S, 128)
+
+
+def _miller_mixed_kernel(nf, has_var, *refs):
+    """Shared-chain mixed Miller product (ops/pairing.py
+    ::miller_product_mixed) as ONE launch: the optional variable pair plus
+    nf fixed-Q pairs whose precomputed line tables (ops/lines.py) ride in
+    as tiny batch-independent VMEM inputs. Replaces the per-pair
+    _miller_kernel grid + _fq12_product_kernel combine for the protocol
+    pipelines: one f-squaring chain for the whole product and zero G2
+    step arithmetic for the fixed pairs."""
+    if has_var:
+        (px_ref, py_ref, qx_ref, qy_ref, fpx_ref, fpy_ref,
+         lines_ref, tails_ref, o_ref) = refs
+    else:
+        fpx_ref, fpy_ref, lines_ref, tails_ref, o_ref = refs
+    with F.kernel_mode():
+        if has_var:
+            xp, yp = px_ref[...], py_ref[...]
+            xq, yq = qx_ref[...], qy_ref[...]
+            p_inf = jnp.logical_and(F.is_zero(xp), F.is_zero(yp))
+            q_inf = jnp.logical_and(T.fq2_is_zero(xq), T.fq2_is_zero(yq))
+            var_p, var_q = (xp, yp, p_inf), (xq, yq, q_inf)
+        else:
+            var_p = var_q = None
+        fixed_ps, tables = [], []
+        for j in range(nf):
+            fx, fy = fpx_ref[j], fpy_ref[j]
+            fixed_ps.append(
+                (fx, fy, jnp.logical_and(F.is_zero(fx), F.is_zero(fy)))
+            )
+            tables.append(
+                LN_mod.G2LineTable(
+                    dbl_c1=lines_ref[j, 0],
+                    dbl_c3=lines_ref[j, 1],
+                    add_c1=lines_ref[j, 2],
+                    add_c3=lines_ref[j, 3],
+                    tail_c1=tails_ref[j, 0],
+                    tail_c3=tails_ref[j, 1],
+                )
+            )
+        o_ref[...] = PR.miller_product_mixed(
+            var_p, var_q, tuple(fixed_ps), tuple(tables)
+        )
 
 
 def _fq12_product_kernel(n, f_ref, o_ref):
@@ -213,6 +257,43 @@ def _miller_call(n_pairs: int, rows: int, interpret: bool, vma: tuple = ()):
             _bspec2((1, L, 2, TILE_S, 128)),
         ],
         out_specs=_bspec2((1, L, 12, TILE_S, 128)),
+        interpret=interpret,
+    )
+
+
+def _bspec_const(shape):
+    """Full-block spec independent of the grid coordinate — for the tiny
+    batch-independent line tables."""
+    ndim = len(shape)
+    return pl.BlockSpec(
+        shape, lambda i, _nd=ndim: (0,) * _nd, memory_space=pltpu.VMEM
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _miller_mixed_call(nf: int, has_var: bool, rows: int, interpret: bool,
+                       vma: tuple = ()):
+    kernel = functools.partial(_miller_mixed_kernel, nf, has_var)
+    steps = LN_mod.STEPS
+    var_specs = [
+        _bspec((L, TILE_S, 128)),
+        _bspec((L, TILE_S, 128)),
+        _bspec((L, 2, TILE_S, 128)),
+        _bspec((L, 2, TILE_S, 128)),
+    ] if has_var else []
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (L, 12, rows, 128), jnp.uint32, vma=frozenset(vma)
+        ),
+        grid=(rows // TILE_S,),
+        in_specs=var_specs + [
+            _bspec((nf, L, TILE_S, 128)),      # fixed P x
+            _bspec((nf, L, TILE_S, 128)),      # fixed P y
+            _bspec_const((nf, 4, steps, L, 2)),  # dbl/add c1/c3 tables
+            _bspec_const((nf, 2, 2, L, 2)),      # tail c1/c3
+        ],
+        out_specs=_bspec((L, 12, TILE_S, 128)),
         interpret=interpret,
     )
 
@@ -366,6 +447,49 @@ def _miller_product_mega_impl(pairs_p, pairs_q, interpret):
     return _from_rows(out, batch)
 
 
+def _miller_mixed_mega_impl(var_pxy, var_qxy, fixed, lines_arr, tails_arr,
+                            interpret):
+    """var_pxy/var_qxy: ((x, y, inf)) tuples or None; fixed: nf-stacked
+    (x:(nf,L,B), y:(nf,L,B), inf:(nf,B)). Infinity lanes are zeroed so the
+    kernel's all-zero convention applies."""
+    from .field_pallas import out_vma
+
+    fpx, fpy, finf = fixed
+    zmask = finf[:, None, :]
+    fpx = jnp.where(zmask, 0, fpx)
+    fpy = jnp.where(zmask, 0, fpy)
+    batch = fpx.shape[-1]
+    rows = _rows_for(batch)
+    nf = fpx.shape[0]
+    has_var = var_pxy is not None
+    args = []
+    if has_var:
+        vpx, vpy, vpinf = var_pxy
+        vqx, vqy, vqinf = var_qxy
+        skip = jnp.logical_or(vpinf, vqinf)
+        vpx = jnp.where(skip[None], 0, vpx)
+        vpy = jnp.where(skip[None], 0, vpy)
+        vqx = jnp.where(skip[None, None], 0, vqx)
+        vqy = jnp.where(skip[None, None], 0, vqy)
+        vma = out_vma(vpx, vpy, vqx, vqy, fpx, fpy)
+        args += [
+            _to_rows(vpx, batch, rows),
+            _to_rows(vpy, batch, rows),
+            _to_rows(vqx, batch, rows),
+            _to_rows(vqy, batch, rows),
+        ]
+    else:
+        vma = out_vma(fpx, fpy)
+    args += [
+        _to_rows(fpx, batch, rows),
+        _to_rows(fpy, batch, rows),
+        jnp.asarray(lines_arr),
+        jnp.asarray(tails_arr),
+    ]
+    out = _miller_mixed_call(nf, has_var, rows, interpret, vma)(*args)
+    return _from_rows(out, batch)
+
+
 def _final_exp_mega_impl(f, interpret):
     from .field_pallas import out_vma
 
@@ -421,12 +545,16 @@ _miller_product_mega_jit = jax.jit(
     _miller_product_mega_impl, static_argnames=("interpret",)
 )
 _final_exp_mega_jit = jax.jit(_final_exp_mega_impl, static_argnames=("interpret",))
+_miller_mixed_mega_jit = jax.jit(
+    _miller_mixed_mega_impl, static_argnames=("interpret",)
+)
 _msm_affine_mega_jit = jax.jit(_msm_affine_mega_impl, static_argnames=("interpret",))
 
 
 def _clear_mega_jit_caches():
     """For tests that patch TILE_S: drop traces built with the old tile."""
-    for fn in (_miller_product_mega_jit, _final_exp_mega_jit, _msm_affine_mega_jit):
+    for fn in (_miller_product_mega_jit, _final_exp_mega_jit,
+               _msm_affine_mega_jit, _miller_mixed_mega_jit):
         fn.clear_cache()
 
 
@@ -437,6 +565,48 @@ def miller_product_mega(pairs_p, pairs_q, interpret=None):
     if interpret is None:
         interpret = F.pallas_interpret()
     return _miller_product_mega_jit(pairs_p, pairs_q, interpret=interpret)
+
+
+def pack_line_tables(tables):
+    """Tuple of ops/lines.py::G2LineTable -> (lines_arr, tails_arr) numpy
+    stacks: (nf, 4, STEPS, 16, 2) and (nf, 2, 2, 16, 2)."""
+    lines_arr = np.stack(
+        [
+            np.stack(
+                [
+                    np.asarray(tb.dbl_c1),
+                    np.asarray(tb.dbl_c3),
+                    np.asarray(tb.add_c1),
+                    np.asarray(tb.add_c3),
+                ]
+            )
+            for tb in tables
+        ]
+    )
+    tails_arr = np.stack(
+        [
+            np.stack([np.asarray(tb.tail_c1), np.asarray(tb.tail_c3)])
+            for tb in tables
+        ]
+    )
+    return lines_arr, tails_arr
+
+
+def miller_mixed_mega(var_p, var_q, fixed_ps, tables, interpret=None):
+    """Mixed Miller product mega kernel (see _miller_mixed_kernel).
+
+    var_p/var_q: one (x, y, inf) pair or None; fixed_ps: tuple of (x, y,
+    inf) affine G1 tuples; tables: matching ops/lines.py::G2LineTable.
+    """
+    if interpret is None:
+        interpret = not F.use_pallas()
+    lines_arr, tails_arr = pack_line_tables(tables)
+    fixed = tuple(
+        jnp.stack([jnp.asarray(p[i]) for p in fixed_ps]) for i in range(3)
+    )
+    return _miller_mixed_mega_jit(
+        var_p, var_q, fixed, lines_arr, tails_arr, interpret=interpret
+    )
 
 
 def final_exp_mega(f, interpret=None):

@@ -127,15 +127,19 @@ def _groth16_kernel(
     k_points,      # ((n+1), 16, B) stacked affine tuple (broadcast VK)
     scalars,       # (n, 16, B) canonical Fr
     ar, bs, krs,   # proof point tuples
-    gamma_g2, neg_delta_g2,
+    line_tables,   # (gamma, -delta) ops/lines.py tables (VK-fixed G2)
     alpha_beta,    # (16, 12, B) target Gt
     valid,         # (B,) bool
 ):
-    """Full batched Groth16 device step (jittable as one program)."""
+    """Full batched Groth16 device step (jittable as one program).
+
+    The pairing check runs as ONE shared-chain mixed Miller product: the
+    variable pair e(A, B) plus the two VK-fixed-Q pairs e(L, gamma) and
+    e(C, -delta) via precomputed line tables (ops/lines.py) — no G2 step
+    arithmetic for the fixed pairs, one f^2 chain for all three."""
     prepared = _g16_prepare(n_inputs, k_points, scalars)
-    pairs_p = _stack_affine_g1([ar, prepared, krs])
-    pairs_q = _stack_affine_g1([bs, gamma_g2, neg_delta_g2])
-    gt = PR.pairing_batch(pairs_p, pairs_q)
+    f = PR.miller_product_mixed(ar, bs, (prepared, krs), tuple(line_tables))
+    gt = PR.final_exponentiation(f)
     ok = T.fq12_eq(gt, alpha_beta)
     return jnp.logical_and(ok, valid)
 
@@ -193,8 +197,8 @@ def _msm_affine(points, scalars):
     return out
 
 
-def _groth16_pipeline(n_inputs, k_points, scalars, ar, bs, krs, gamma_g2,
-                      neg_delta_g2, alpha_beta, valid):
+def _groth16_pipeline(n_inputs, k_points, scalars, ar, bs, krs, line_tables,
+                      alpha_beta, valid):
     """Same computation as _groth16_kernel but composed from separately
     jitted stages so the persistent compile cache is shared across batch
     sizes and entry points."""
@@ -209,9 +213,7 @@ def _groth16_pipeline(n_inputs, k_points, scalars, ar, bs, krs, gamma_g2,
     else:
         prepared = _g16_prepare_jit(n_inputs, k_points, scalars)
     prepared = jax.tree_util.tree_map(np.asarray, prepared)
-    pairs_p = _stack_affine_g1([ar, prepared, krs])
-    pairs_q = _stack_affine_g1([bs, gamma_g2, neg_delta_g2])
-    gt = PR.pairing_batch_hostcall(pairs_p, pairs_q)
+    gt = PR.pairing_mixed_hostcall(ar, bs, (prepared, krs), tuple(line_tables))
     return _gt_eq_masked(gt, alpha_beta, valid)
 
 
@@ -227,7 +229,20 @@ class Groth16BatchVerifier:
         self.vk = ser.load_groth16_verifying_key_from_bytes(vk_bytes)
         self.n_inputs = len(self.vk.k) - 1
         self._alpha_beta_single = None  # (16,12,1) device Gt, computed lazily
+        self._tables = None  # (gamma, -delta) Miller line tables, lazy
         self.last_stats: Optional[RunStats] = None  # set by verify_batch
+
+    def _line_tables(self):
+        """Precomputed Miller line tables for the VK-fixed G2 points gamma
+        and -delta (ops/lines.py) — computed once per VK on the host."""
+        if self._tables is None:
+            from ..ops import lines as LN
+
+            self._tables = (
+                LN.g2_line_table(self.vk.gamma_g2),
+                LN.g2_line_table(bn.g2_neg(self.vk.delta_g2)),
+            )
+        return self._tables
 
     def _alpha_beta(self):
         """e(alpha, beta) — computed ONCE per VK on host (the oracle pairing
@@ -272,12 +287,10 @@ class Groth16BatchVerifier:
             )
         else:
             sc = np.zeros((0, 16, b), np.uint32)
-        gamma = _bcast_pt_g2(self.vk.gamma_g2, b)
-        neg_delta = _bcast_pt_g2(bn.g2_neg(self.vk.delta_g2), b)
         ab = np.broadcast_to(self._alpha_beta(), (16, 12, b))
         ok = _groth16_pipeline(
-            self.n_inputs, k_stack, sc, ar, bs, krs, gamma, neg_delta, ab,
-            jnp.asarray(valid),
+            self.n_inputs, k_stack, sc, ar, bs, krs, self._line_tables(),
+            ab, jnp.asarray(valid),
         )
         ok = np.asarray(ok)
         self.last_stats = RunStats(
@@ -356,17 +369,19 @@ def _is_one_masked(gt, valid):
 
 
 def _plonk_final_kernel(combo_points, combo_scalars, quot_points, quot_scalars,
-                        g2_0, g2_1, valid):
+                        line_tables, valid):
     """Fused KZG batch check: e(combo, G2) * e(-(quot), [tau]G2) == 1,
-    composed from cached jit stages."""
+    composed from cached jit stages. BOTH G2 points are VK-fixed
+    (kzg.rs:180-186), so the pairing runs as a fixed-only shared-chain
+    Miller product over precomputed line tables — zero G2 arithmetic."""
     combo = _msm_affine(combo_points, combo_scalars)
     quot = _msm_affine(quot_points, quot_scalars)
     neg_quot = _negate_affine_y(quot)
     combo = jax.tree_util.tree_map(np.asarray, combo)
     neg_quot = jax.tree_util.tree_map(np.asarray, neg_quot)
-    pairs_p = _stack_affine_g1([combo, neg_quot])
-    pairs_q = _stack_affine_g1([g2_0, g2_1])
-    gt = PR.pairing_batch_hostcall(pairs_p, pairs_q)
+    gt = PR.pairing_mixed_hostcall(
+        None, None, (combo, neg_quot), tuple(line_tables)
+    )
     return _is_one_masked(gt, valid)
 
 
@@ -409,7 +424,20 @@ class PlonkBatchVerifier:
             pow(vk.generator, vk.nb_public_variables + cci, R)
             for cci in vk.commitment_constraint_indexes
         ]
+        self._tables = None  # KZG ([1]_2, [x]_2) Miller line tables, lazy
         self.last_stats: Optional[RunStats] = None  # set by verify_batch
+
+    def _kzg_tables(self):
+        """Precomputed Miller line tables for the KZG SRS G2 points
+        ([1]_2, [x]_2) — both VK-fixed (kzg.rs:180-186), once per VK."""
+        if self._tables is None:
+            from ..ops import lines as LN
+
+            self._tables = (
+                LN.g2_line_table(self.vk.kzg.g2[0]),
+                LN.g2_line_table(self.vk.kzg.g2[1]),
+            )
+        return self._tables
 
     def verify_batch(
         self,
@@ -552,11 +580,9 @@ class PlonkBatchVerifier:
         combo_sc = np.stack([scal(j, combo_cols) for j in range(n_combo)], axis=0)
         quot_pts = _stack_affine_g1([col(j, quot_cols, bn.G1_GEN) for j in range(n_quot)])
         quot_sc = np.stack([scal(j, quot_cols) for j in range(n_quot)], axis=0)
-        g2_0 = _bcast_pt_g2(vk.kzg.g2[0], b)
-        g2_1 = _bcast_pt_g2(vk.kzg.g2[1], b)
         host_s += time.perf_counter() - t_host2
         ok = _plonk_final_kernel(
-            combo_pts, combo_sc, quot_pts, quot_sc, g2_0, g2_1, valid
+            combo_pts, combo_sc, quot_pts, quot_sc, self._kzg_tables(), valid
         )
         ok = np.asarray(ok)
         self.last_stats = self._stats(
