@@ -1,7 +1,10 @@
 """Benchmark driver: the five BASELINE.json configs on real hardware.
 
-Prints one JSON line per requested config, with the HEADLINE line
-(batched Groth16 throughput, the BASELINE north-star metric) printed LAST:
+Prints one JSON line per requested config. The HEADLINE config (batched
+Groth16 throughput, the BASELINE north-star metric) runs FIRST — so no
+earlier config can burn the budget before it (the r04 failure mode) — and
+its line is RE-EMITTED as the final stdout line so a tail-parse still
+lands on the north star:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
@@ -47,6 +50,19 @@ PLONK_VK = os.path.join(
 )
 TARGET_PPS_CHIP = 625.0      # 10k proofs/sec on 16 chips (BASELINE.json)
 TARGET_MSM_S = 0.25          # soft target: 2^16-point MSM in 250 ms
+
+# Which Pallas kernel entry points each preflight stage compiles+validates.
+# bench_pallas_validation fails (and tests/test_kernel_registry.py asserts
+# statically) if the union does not cover
+# ops/pairing_pallas.py::KERNEL_ENTRY_POINTS — so a new kernel cannot ship
+# unvalidated (the r04 regression class).
+PREFLIGHT_KERNEL_COVERAGE = {
+    "mont_mul": ("mont_mul",),
+    "miller_final_exp": ("miller_product_mega", "final_exp_mega"),
+    "msm_mega": ("msm_affine_mega",),
+    "miller_mixed_var": ("miller_mixed_mega", "final_exp_mega"),
+    "miller_mixed_fixed_only": ("miller_mixed_mega",),
+}
 
 
 def _emit(line: dict):
@@ -426,6 +442,57 @@ def bench_pallas_validation(cfg, iters):
     stages["msm_mega"] = {"ok": bool(ok), "s": round(time.time() - t0, 1)}
     ok_all &= ok
 
+    # stage 4: mixed Miller product — THE kernel both production batch
+    # pipelines dispatch (parallel/batch.py), in BOTH protocol shapes:
+    # Groth16 (nf=2 fixed + one variable pair) and PlonK/KZG (nf=2
+    # fixed-only). The r04 regression shipped precisely because the
+    # preflight omitted this entry point.
+    t0 = time.time()
+    from snark_bn254_verifier_tpu.ops import lines as LN
+
+    q_fixed = [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(2)]
+    tables = tuple(LN.g2_line_table(q) for q in q_fixed)
+    fixed_lanes = [
+        [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+        for _ in range(2)
+    ]
+    fixed_lanes[0][1] = None  # infinity lane
+    vp_lanes = [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+    vq_lanes = [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(3)]
+    fixed_ps = tuple(pack_g1(lane) for lane in fixed_lanes)
+    for shape_name, vp, vq in (
+        ("miller_mixed_var", pack_g1(vp_lanes), pack_g2(vq_lanes)),
+        ("miller_mixed_fixed_only", None, None),
+    ):
+        t1 = time.time()
+        f = PP.miller_mixed_mega(vp, vq, fixed_ps, tables)
+        gt = unpack_fq12(np.asarray(PP.final_exp_mega(f)))
+        ok = True
+        for lane in range(3):
+            pairs = [
+                (fixed_lanes[j][lane], q_fixed[j])
+                for j in range(2)
+                if fixed_lanes[j][lane] is not None
+            ]
+            if vp is not None:
+                pairs.append((vp_lanes[lane], vq_lanes[lane]))
+            ok &= gt[lane] == bn.pairing_batch(pairs)
+        stages[shape_name] = {"ok": bool(ok), "s": round(time.time() - t1, 1)}
+        ok_all &= ok
+
+    # coverage check: every public Pallas kernel entry point must have been
+    # compiled+validated above — a new kernel cannot ship unvalidated.
+    validated = set()
+    for st, kernels in PREFLIGHT_KERNEL_COVERAGE.items():
+        if st in stages and stages[st]["ok"]:
+            validated.update(kernels)
+    missing = [k for k in PP.KERNEL_ENTRY_POINTS if k not in validated]
+    if missing:
+        stages["coverage"] = {"ok": False, "missing": missing}
+        ok_all = False
+    else:
+        stages["coverage"] = {"ok": True}
+
     return {
         "metric": "pallas_validation",
         "value": 1 if ok_all else 0,
@@ -523,16 +590,18 @@ def main():
     log2n = args.msm_log2n or (10 if args.smoke else 16)
     cfg = VerifierConfig(batch_size=batch, msm_window_bits=args.msm_c)
 
+    # Headline FIRST (r04 lesson: anything ordered before it that burns the
+    # budget erases the north-star metric); validation/scaling at the end.
+    # The headline line is RE-EMITTED as the final line so a tail-parse of
+    # stdout still lands on the north-star metric.
     wanted = (
-        ["pallas_validation", "groth16_single", "plonk_single", "plonk_batch",
-         "msm", "mixed", "scaling", "groth16_batch"]
+        ["groth16_batch", "plonk_batch", "msm", "mixed", "groth16_single",
+         "plonk_single", "scaling", "pallas_validation"]
         if args.configs == "all"
         else args.configs.split(",")
     )
-    # headline (groth16_batch) always last so the driver's tail-parse
-    # records the north-star metric
     if "groth16_batch" in wanted:
-        wanted = [c for c in wanted if c != "groth16_batch"] + ["groth16_batch"]
+        wanted = ["groth16_batch"] + [c for c in wanted if c != "groth16_batch"]
 
     runners = {
         "pallas_validation": lambda: bench_pallas_validation(cfg, iters),
@@ -544,13 +613,42 @@ def main():
         "mixed": lambda: bench_mixed(cfg, max(2, iters // 2)),
         "scaling": lambda: bench_scaling(cfg, iters),
     }
+    # Per-config wall-clock budgets (seconds): a hung config raises instead
+    # of eating the round; its error line is emitted and the rest proceed.
+    budgets = {
+        "groth16_batch": 1200, "plonk_batch": 900, "msm": 600, "mixed": 480,
+        "groth16_single": 300, "plonk_single": 420, "scaling": 720,
+        "pallas_validation": 720,
+    }
+    global_budget = int(os.environ.get("TPU_BN254_BENCH_BUDGET_S", "3000"))
+    t_start = time.time()
+    headline_line = None
+
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("per-config wall-clock budget exceeded")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
     # Per-config fault isolation (round-3 lesson: the msm config crashed at
     # trace time and erased every metric, including the headline that never
     # got to run). A failing config emits an error line; the rest proceed.
     for name in wanted:
+        remaining = global_budget - (time.time() - t_start)
+        if remaining < 30:
+            _emit({"metric": name, "error": "skipped: global bench budget "
+                   f"exhausted ({global_budget}s)"})
+            continue
         try:
-            _emit(runners[name]())
+            signal.alarm(int(min(budgets.get(name, 600), remaining)))
+            line = runners[name]()
+            signal.alarm(0)
+            _emit(line)
+            if name == "groth16_batch":
+                headline_line = line
         except Exception as e:  # noqa: BLE001 — isolation is the point
+            signal.alarm(0)
             _emit(
                 {
                     "metric": name,
@@ -558,6 +656,8 @@ def main():
                     "trace_tail": traceback.format_exc().strip().splitlines()[-3:],
                 }
             )
+    if headline_line is not None and len(wanted) > 1:
+        _emit(headline_line)
 
 
 if __name__ == "__main__":

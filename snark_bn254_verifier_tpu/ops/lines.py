@@ -3,9 +3,10 @@
 Every pairing the protocols evaluate has at most ONE G2 point that varies
 per proof:
 
-  * Groth16 (verify.rs:66-75): e(A,B) varies in B; e(L, -gamma) and
+  * Groth16 (verify.rs:66-75): e(A,B) varies in B; e(L, gamma) and
     e(C, -delta) have VK-constant G2 points (and e(alpha, beta) is fully
-    constant — already folded as a cached Gt, parallel/batch.py).
+    constant — already folded as a cached Gt, parallel/batch.py; the check
+    is e(A,B) e(L,gamma) e(C,-delta) == e(alpha,beta)).
   * PlonK/KZG (kzg.rs:180-186): BOTH G2 points ([1]_2 and [x]_2) are
     VK-constant.
 

@@ -235,8 +235,18 @@ def miller_loop(p_affine, q_affine):
 
 
 # ---------------------------------------------------------------------------
-# Final exponentiation
-# ---------------------------------------------------------------------------
+# Final exponentiation — TWO tier-specific algorithms:
+#
+#   * Kernel tier (Pallas, F.IN_KERNEL): the x-chain hard part below
+#     (~17k Montgomery multiplies/lane vs ~62k for a per-p-digit scan in
+#     kernel form) — Mosaic-validated bit-exact on v5e via the bench
+#     preflight.
+#   * XLA tier: the base-p digit-Straus scan (_final_exp_digits). The
+#     x-chain's three sequential 62-step scans plus the stacked-pair
+#     combine ladder blow XLA:CPU's compile past 550 s (measured, r04 —
+#     it stalled the multichip dryrun and the smoke test tier); the single
+#     254-step digit scan compiles in seconds and the XLA tier is the
+#     test/dryrun path, not the production TPU path.
 #
 # Hard-part decomposition, derived numerically from the BN parameter
 # x = X_PARAM (verified in-tree: the signed base-p digits of
@@ -247,14 +257,68 @@ def miller_loop(p_affine, q_affine):
 #
 # With A = m^x, B = m^{x^2}, C = m^{x^3} (three cyclotomic exponentiations
 # by the fixed x), each digit power is a tiny Straus multi-exponentiation
-# over {C, B, A, m} whose 5-bit schedule is unrolled below. ~17k Montgomery
-# multiplies per lane versus ~22k (XLA tier) / ~62k (kernel tier) for the
-# previous 254-step digit scan — the hard part stops dominating the
-# pairing. The reference's substrate-bn uses a comparable x-chain
+# over {C, B, A, m}. The reference's substrate-bn uses a comparable x-chain
 # (bn::final_exponentiation); this schedule was derived and verified
 # against the oracle independently.
 
 _X_BITS = [int(c) for c in bin(bn.X_PARAM)[2:]]
+
+# Base-p digits of (p^4 - p^2 + 1)/r for the XLA-tier digit-Straus scan.
+_HARD_DIGITS = bn.HARD_DIGITS
+_NBITS = max(d.bit_length() for d in _HARD_DIGITS)
+_STEP_IDX = np.asarray(
+    [
+        sum(((d >> bit) & 1) << i for i, d in enumerate(_HARD_DIGITS))
+        for bit in range(_NBITS - 1, -1, -1)
+    ],
+    dtype=np.int32,
+)
+
+
+def _final_exp_digits(f):
+    """XLA-tier f^((p^12-1)/r): easy part, then a 254-step digit-Straus
+    scan over the base-p digits of the hard part with a 16-entry
+    subset-product table (one cyclotomic squaring + one gathered multiply
+    per bit). Compiles in seconds on XLA:CPU — see the tier note above."""
+    f1 = T.fq12_conj(f)
+    f2 = T.fq12_inv(f)
+    f = T.fq12_mul(f1, f2)                       # ^(p^6 - 1)
+    f = T.fq12_mul(T.fq12_frobenius(f, 2), f)    # ^(p^2 + 1)
+
+    bases = [f] + [T.fq12_frobenius(f, i) for i in range(1, len(_HARD_DIGITS))]
+    one = T.fq12_one(f.shape[2:])
+    # subset-product table built with a scan (one fq12_mul in the graph):
+    # entry[mask] = prod of bases[i] over set bits of mask
+    ntbl = 1 << len(bases)
+    table = jnp.stack([one] + bases + [one] * (ntbl - 1 - len(bases)), axis=0)
+    perm = [0] + [1 << i for i in range(len(bases))]  # masks already filled
+    fill = [m for m in range(1, ntbl) if m & (m - 1)]
+    pos_of_mask = {m: i for i, m in enumerate(perm)}
+    fills = []
+    for m in fill:
+        low = m & -m
+        pos_of_mask[m] = len(pos_of_mask)
+        fills.append((pos_of_mask[m], pos_of_mask[m ^ low], pos_of_mask[low]))
+    fills_arr = jnp.asarray(fills, dtype=jnp.int32)
+
+    def fill_body(tbl, idxs):
+        dst, a_i, b_i = idxs[0], idxs[1], idxs[2]
+        entry = T.fq12_mul(tbl[a_i], tbl[b_i])
+        return tbl.at[dst].set(entry), None
+
+    table, _ = jax.lax.scan(fill_body, table, fills_arr)
+    mask_to_pos = np.zeros(ntbl, dtype=np.int32)
+    for m, i in pos_of_mask.items():
+        mask_to_pos[m] = i
+    idx = jnp.asarray(mask_to_pos[_STEP_IDX])
+
+    def body(acc, i):
+        acc = T.fq12_cyclotomic_sq(acc)
+        acc = T.fq12_mul(acc, table[i])
+        return acc, None
+
+    out, _ = jax.lax.scan(body, one, idx)
+    return out
 
 
 def _cyc_exp_x(a):
@@ -366,8 +430,11 @@ def _fe_combine(m, A, B, C):
 
 
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part, then the x-chain hard part above."""
-    return _fe_combine(*_fe_easy_and_expx(f))
+    """f^((p^12-1)/r), tier-dispatched (see the tier note above): x-chain
+    in kernel mode, digit-Straus scan on the XLA tier."""
+    if F.IN_KERNEL:
+        return _fe_combine(*_fe_easy_and_expx(f))
+    return _final_exp_digits(f)
 
 
 def _miller_product(pairs_p, pairs_q):
@@ -407,17 +474,26 @@ def _miller_product(pairs_p, pairs_q):
 
 def _fixed_line_apply(f, c1row, c3row, xp, yp, p_inf):
     """Multiply f by the affine-normalized precomputed line (c0 == 1):
-    l00 = (yP, 0), l10 = c1*xP, l11 = c3. Infinity lanes are identity."""
+    l00 = (yP, 0), l10 = c1*xP, l11 = c3. Infinity lanes are identity.
+
+    Rows arrive either as bare (16, 2) table entries (XLA tier) or already
+    broadcast to (16, 2, *batch) (the Pallas kernel builds them from SMEM
+    scalars — reshaping a loaded (16, 2) VMEM tile against the batch dims
+    is a tiled->untiled relayout Mosaic refuses)."""
     nb = xp.ndim - 1
-    c1b = c1row.reshape(c1row.shape[:2] + (1,) * nb)
-    c3b = c3row.reshape(c3row.shape[:2] + (1,) * nb)
+    if c1row.ndim == 2:
+        c1b = c1row.reshape(c1row.shape[:2] + (1,) * nb)
+        c3b = c3row.reshape(c3row.shape[:2] + (1,) * nb)
+    else:
+        c1b, c3b = c1row, c3row
     l00 = T.fq2_from_parts(yp, jnp.zeros_like(yp))
     l10 = T.fq2_mul_fq(c1b, xp)
     l11 = jnp.broadcast_to(c3b, c3b.shape[:2] + xp.shape[1:])
     return _mul_by_l(f, l00, l10, l11, skip=p_inf)
 
 
-def miller_product_mixed(var_p, var_q, fixed_ps, tables):
+def miller_product_mixed(var_p, var_q, fixed_ps, tables, row_fn=None,
+                         tail_fn=None):
     """Product of Miller loops sharing one f-squaring chain.
 
     var_p/var_q: one variable pair ((x, y, inf) affine tuples, Fq2 arrays
@@ -425,12 +501,22 @@ def miller_product_mixed(var_p, var_q, fixed_ps, tables):
     affine G1 tuples; tables: matching tuple of ops/lines.py::G2LineTable
     field tuples (arrays (STEPS,16,2) / (2,16,2), batch independent).
 
+    Kernel mode (Pallas) MUST pass ``row_fn``/``tail_fn`` instead of value
+    ``tables``: indexing a value table by the fori_loop induction variable
+    traces a value-level dynamic_slice that Mosaic cannot lower (the r04
+    TPU batch-path crash). ``row_fn(i)`` returns the per-iteration
+    [(dbl_c1, dbl_c3, add_c1, add_c3), ...] rows — the Pallas kernel
+    implements it as a direct dynamic REF load, which Mosaic supports —
+    and ``tail_fn(j, k)`` the (tail_c1, tail_c3) of table j, tail step k.
+
     Semantics match multiplying the individual ``miller_loop`` values
     (infinity pairs contribute 1); the value may differ by an Fq2-subfield
     factor, which ``final_exponentiation`` annihilates.
     """
     nf = len(fixed_ps)
-    assert nf == len(tables) and (nf > 0 or var_p is not None)
+    if row_fn is None:
+        assert nf == len(tables)
+    assert nf > 0 or var_p is not None
     some_x = fixed_ps[0][0] if nf else var_p[0]
     batch = some_x.shape[1:]
     f0 = T.fq12_one(batch)
@@ -475,16 +561,16 @@ def miller_product_mixed(var_p, var_q, fixed_ps, tables):
 
     t_init = t0 if has_var else ()
     if F.IN_KERNEL:
+        assert row_fn is not None and tail_fn is not None, (
+            "kernel mode requires ref-based row loaders (Mosaic cannot "
+            "lower a value-level dynamic table index)"
+        )
         nbits = bn.ATE_LOOP_COUNT.bit_length()
 
         def body_k(i, carry):
             f, t = carry
             bit = F.scalar_bit_of(bn.ATE_LOOP_COUNT, np.int32(nbits - 2) - i)
-            rows = [
-                (tb.dbl_c1[i], tb.dbl_c3[i], tb.add_c1[i], tb.add_c3[i])
-                for tb in tables
-            ]
-            return step(f, t, bit == 1, rows)
+            return step(f, t, bit == 1, row_fn(i))
 
         f, t = jax.lax.fori_loop(0, nbits - 1, body_k, (f0, t_init))
     else:
@@ -520,8 +606,11 @@ def miller_product_mixed(var_p, var_q, fixed_ps, tables):
         f = _mul_by_line(f, line, xp, yp, skip=skip_v)
     for k in range(2):
         for j in range(nf):
-            tc1 = jnp.asarray(tables[j].tail_c1)[k]
-            tc3 = jnp.asarray(tables[j].tail_c3)[k]
+            if tail_fn is not None:
+                tc1, tc3 = tail_fn(j, k)
+            else:
+                tc1 = jnp.asarray(tables[j].tail_c1)[k]
+                tc3 = jnp.asarray(tables[j].tail_c3)[k]
             f = _fixed_line_apply(
                 f, tc1, tc3, fixed_ps[j][0], fixed_ps[j][1], fixed_inf[j]
             )

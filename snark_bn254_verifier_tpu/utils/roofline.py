@@ -137,11 +137,27 @@ def _leaf_costs() -> dict:
         for i in range(1, 4):
             T.fq12_frobenius(f, i)  # the 4 Straus bases
 
+    def var_dbl_line():
+        t, line = PR._dbl_step(t_pt)
+        PR._mul_by_line(f12, line, px, py)
+
+    def var_add_line():
+        t2, line2 = PR._add_step(t_pt, (qx, qy))
+        PR._mul_by_line(f12, line2, px, py)
+
+    def fixed_line():
+        c1row = np.zeros((16, 2), np.uint32)
+        PR._fixed_line_apply(f12, c1row, c1row, px, py, pinf)
+
     return {
         "miller_step": _count(miller_step),
         "miller_tail": _count(miller_tail),
+        "var_dbl_line": _count(var_dbl_line),
+        "var_add_line": _count(var_add_line),
+        "fixed_line": _count(fixed_line),
         "fe_easy": _count(fe_easy),
         "fq12_mul": _count(lambda: T.fq12_mul(f12, f12)),
+        "fq12_sq": _count(lambda: T.fq12_sq(f12)),
         "fq12_cyc_sq": _count(lambda: T.fq12_cyclotomic_sq(f12)),
         "frobenius": _count(lambda: T.fq12_frobenius(f12, 1)),
         "jac_double": _count(lambda: C.jacobian_double(C.G1_OPS, jac)),
@@ -193,6 +209,24 @@ def pairing_product_mults(n_pairs: int) -> int:
     )
 
 
+def mixed_product_mults(nf: int, has_var: bool) -> int:
+    """Shared-chain mixed Miller product + final exp — the pairing the
+    production batch pipelines run (ops/pairing.py::miller_product_mixed):
+    one f^2 per iteration for the WHOLE product, per-iteration sparse line
+    applies for the nf fixed-table pairs (dbl + selected add, both branches
+    execute — branch-free SIMD), full G2 step arithmetic only for the
+    optional variable pair, plus the 2-line Frobenius tails."""
+    from ..ops import pairing as PR
+
+    c = _leaf_costs()
+    n_steps = len(PR._MILLER_BITS)
+    per_step = c["fq12_sq"] + 2 * nf * c["fixed_line"]
+    if has_var:
+        per_step += c["var_dbl_line"] + c["var_add_line"]
+    tails = 2 * nf * c["fixed_line"] + (c["miller_tail"] if has_var else 0)
+    return n_steps * per_step + tails + final_exp_mults()
+
+
 def straus_msm_mults(n_points: int) -> int:
     """Bit-serial shared-doubling Straus (ops/curve.py::msm): 256 bits x
     (1 double + n conditional mixed adds, both branches). Kept for
@@ -222,7 +256,7 @@ def groth16_mults_per_proof(n_inputs: int = 2) -> int:
     return (
         windowed_msm_mults(n_inputs + 1)
         + c["to_affine"]
-        + pairing_product_mults(3)
+        + mixed_product_mults(nf=2, has_var=True)
     )
 
 
@@ -238,7 +272,7 @@ def plonk_mults_per_proof(n_qcp: int = 0) -> int:
         + windowed_msm_mults(n_combo)
         + windowed_msm_mults(2)
         + 3 * c["to_affine"]
-        + pairing_product_mults(2)
+        + mixed_product_mults(nf=2, has_var=False)
     )
 
 

@@ -152,6 +152,39 @@ def test_miller_product_and_final_exp_interpret_match_oracle():
 
 
 @_heavy
+def test_miller_mixed_interpret_matches_oracle():
+    """The mixed (shared-chain, SMEM line-table) kernel body in interpret
+    mode — the exact kernel both production batch pipelines dispatch."""
+    from snark_bn254_verifier_tpu.ops import lines as LN
+
+    q_fixed = [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(2)]
+    tables = tuple(LN.g2_line_table(q) for q in q_fixed)
+    fixed_lanes = [
+        [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(2)]
+        for _ in range(2)
+    ]
+    fixed_lanes[0][1] = None  # infinity lane
+    fixed_ps = tuple(pack_g1(lane) for lane in fixed_lanes)
+    vp_lanes = [bn.g1_mul(bn.G1_GEN, rng.randrange(1, bn.R)) for _ in range(2)]
+    vq_lanes = [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(2)]
+    for vp, vq, vlanes in (
+        (pack_g1(vp_lanes), pack_g2(vq_lanes), (vp_lanes, vq_lanes)),
+        (None, None, None),
+    ):
+        f = PP.miller_mixed_mega(vp, vq, fixed_ps, tables, interpret=True)
+        gt = unpack_fq12(np.asarray(PP.final_exp_mega(f, interpret=True)))
+        for lane in range(2):
+            pairs = [
+                (fixed_lanes[j][lane], q_fixed[j])
+                for j in range(2)
+                if fixed_lanes[j][lane] is not None
+            ]
+            if vlanes is not None:
+                pairs.append((vlanes[0][lane], vlanes[1][lane]))
+            assert gt[lane] == bn.pairing_batch(pairs)
+
+
+@_heavy
 def test_final_exp_interpret_isolated():
     """Feed an oracle Miller-loop output through the final-exp kernel alone."""
     p = bn.g1_mul(bn.G1_GEN, 7)
