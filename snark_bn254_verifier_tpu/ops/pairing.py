@@ -323,31 +323,21 @@ def _final_exp_digits(f):
 
 def _cyc_exp_x(a):
     """a^x for the fixed BN parameter, a in the cyclotomic subgroup.
+    Kernel tier only (the XLA tier runs _final_exp_digits — see the tier
+    note above). The loop stays ROLLED (fori_loop) with a select per bit:
+    one cyclotomic squaring + one conditional multiply per bit of x. A
+    fully unrolled static schedule would save the 34 zero-bit multiplies
+    (~1.9k mults/exp) but blew Mosaic's scoped-VMEM budget (measured on
+    v5e via the bench preflight)."""
+    assert F.IN_KERNEL, "x-chain is the kernel-tier algorithm"
+    nbits = len(_X_BITS)
 
-    Both tiers keep the loop ROLLED (fori_loop in kernel mode, lax.scan
-    otherwise) with a select per bit: one cyclotomic squaring + one
-    conditional multiply per bit of x. A fully unrolled static schedule
-    would save the 34 zero-bit multiplies (~1.9k mults/exp) but blows the
-    XLA:CPU compile up past 40 minutes (measured) — the rolled body
-    compiles once and costs 62 x 81 mults/exp, still 3.5x cheaper than
-    the old per-p-digit hard part."""
-    if F.IN_KERNEL:
-        nbits = len(_X_BITS)
-
-        def body_k(i, acc):
-            bit = F.scalar_bit_of(bn.X_PARAM, np.int32(nbits - 2) - i)
-            acc = T.fq12_cyclotomic_sq(acc)
-            return F.select(bit == 1, T.fq12_mul(acc, a), acc)
-
-        return jax.lax.fori_loop(0, nbits - 1, body_k, a)
-    bits = jnp.asarray(_X_BITS[1:], dtype=jnp.uint32)
-
-    def body(acc, bit):
+    def body_k(i, acc):
+        bit = F.scalar_bit_of(bn.X_PARAM, np.int32(nbits - 2) - i)
         acc = T.fq12_cyclotomic_sq(acc)
-        return F.select(bit.astype(jnp.bool_), T.fq12_mul(acc, a), acc), None
+        return F.select(bit == 1, T.fq12_mul(acc, a), acc)
 
-    out, _ = jax.lax.scan(body, a, bits)
-    return out
+    return jax.lax.fori_loop(0, nbits - 1, body_k, a)
 
 
 def _fe_easy_and_expx(f):
@@ -371,55 +361,31 @@ def _fe_combine(m, A, B, C):
 
     t0 = m^{-(36x^3+30x^2+18x+2)} = conj((C^18 B^15 A^9 m)^2)
     t1 = m^{-(36x^3+18x^2+12x-1)} = conj((C^18 B^9 A^6)^2) * m
-    XLA:CPU compile time is superlinear in the count of inlined
-    wide-multiply ops (12.5 min fully unrolled, measured), so the XLA
-    tier batches independent multiplies on a stacked pair axis and runs
-    the two 5-step Straus ladders as ONE scan over stacked multiplicand
-    schedules. Kernel mode unrolls (scan-over-xs is not Mosaic-friendly)
-    with the ladders SEQUENTIAL and entry products recomputed in place —
-    peak VMEM liveness stays at ~7 Fq12 values instead of ~11 (the
-    recomputed BA costs 2 extra multiplies per lane)."""
+    Kernel tier only. fori_loop ladders over a stacked 4-entry schedule:
+    an UNROLLED ladder body put ~29 Fq12 buffers live at the worst point
+    and blew Mosaic's ~16 MB scoped-VMEM stack (22.5 MB, measured on v5e
+    via the bench preflight); the rolled body reuses one iteration's
+    buffers, peaking at inputs + one 4-entry table + carry. The ladders
+    run SEQUENTIAL with entry products recomputed in place — peak VMEM
+    liveness ~7 Fq12 values instead of ~11 (the recomputed BA costs 2
+    extra multiplies per lane)."""
+    assert F.IN_KERNEL, "x-chain is the kernel-tier algorithm"
     mul, sq, conj = T.fq12_mul, T.fq12_cyclotomic_sq, T.fq12_conj
-    if F.IN_KERNEL:
-        # fori_loop ladders over a stacked 4-entry schedule: an UNROLLED
-        # ladder body put ~29 Fq12 buffers live at the worst point and blew
-        # Mosaic's ~16 MB scoped-VMEM stack (22.5 MB, measured on v5e via
-        # the bench preflight); the rolled body reuses one iteration's
-        # buffers, peaking at inputs + one 4-entry table + carry.
-        def ladder_k(init, entries):
-            E = jnp.stack(entries, 0)  # (4, 16, 12, S, 128)
 
-            def body(i, acc):
-                e = E[0]
-                for d in range(1, 4):
-                    e = jnp.where(i == d, E[d], e)
-                return mul(sq(acc), e)
+    def ladder_k(init, entries):
+        E = jnp.stack(entries, 0)  # (4, 16, 12, S, 128)
 
-            return sq(jax.lax.fori_loop(0, 4, body, init))
+        def body(i, acc):
+            e = E[0]
+            for d in range(1, 4):
+                e = jnp.where(i == d, E[d], e)
+            return mul(sq(acc), e)
 
-        BA = mul(B, A)
-        acc0 = ladder_k(C, [BA, B, mul(C, B), mul(BA, m)])
-        acc1 = ladder_k(C, [B, A, mul(C, A), B])
-    else:
-        # one batched multiply: BA, CB, CA (tower ops broadcast over
-        # trailing batch dims; stack on a new axis after the component axes)
-        lhs = jnp.stack([B, C, C], 2)
-        rhs = jnp.stack([A, B, A], 2)
-        prod = mul(lhs, rhs)
-        BA, CB, CA = prod[:, :, 0], prod[:, :, 1], prod[:, :, 2]
-        BAm = mul(BA, m)
-        seq0 = [BA, B, CB, BAm]
-        seq1 = [B, A, CA, B]
-        entries = jnp.stack(
-            [jnp.stack([e0, e1], 2) for e0, e1 in zip(seq0, seq1)], 0
-        )  # (4, 16, 12, 2, *b)
+        return sq(jax.lax.fori_loop(0, 4, body, init))
 
-        def ladder(acc, ent):  # acc (16, 12, 2, *b)
-            return mul(sq(acc), ent), None
-
-        acc, _ = jax.lax.scan(ladder, jnp.stack([C, C], 2), entries)
-        acc = sq(acc)
-        acc0, acc1 = acc[:, :, 0], acc[:, :, 1]
+    BA = mul(B, A)
+    acc0 = ladder_k(C, [BA, B, mul(C, B), mul(BA, m)])
+    acc1 = ladder_k(C, [B, A, mul(C, A), B])
     t0 = conj(acc0)
     t1 = mul(conj(acc1), m)
     # t2 = m^{6x^2+1} = (B^3)^2 * m

@@ -617,13 +617,34 @@ def _clear_mega_jit_caches():
         fn.clear_cache()
 
 
+def _pad_batch(tree, batch: int):
+    """Zero-pad every leaf's trailing batch axis to the kernel lane grid
+    BEFORE the jitted impl, so every batch size in the same 128-lane
+    bucket shares ONE compiled executable (a fresh Mosaic compile costs
+    minutes; the impls would otherwise key the jit cache on the exact
+    batch). Zero lanes are infinity points / zero scalars — masked or
+    absorbed by every kernel."""
+    tile = _tile_for(batch)
+    padded = _rows_for(batch, tile) * 128
+    if padded == batch:
+        return tree, batch
+    def pad(a):
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, padded - a.shape[-1])])
+    return jax.tree_util.tree_map(pad, tree), padded
+
+
 def miller_product_mega(pairs_p, pairs_q, interpret=None):
     """pairs_p: (x:(n,16,B), y, inf); pairs_q: Fq2 arrays (n,16,2,B).
     Infinity handling happens in-kernel from the zero encoding. Returns
     (16, 12, B)."""
     if interpret is None:
         interpret = F.pallas_interpret()
-    return _miller_product_mega_jit(pairs_p, pairs_q, interpret=interpret)
+    batch = pairs_p[0].shape[-1]
+    (pairs_p, pairs_q), _ = _pad_batch(
+        (tuple(jnp.asarray(x) for x in pairs_p),
+         tuple(jnp.asarray(x) for x in pairs_q)), batch)
+    out = _miller_product_mega_jit(pairs_p, pairs_q, interpret=interpret)
+    return out[..., :batch]
 
 
 def pack_line_tables(tables):
@@ -663,16 +684,26 @@ def miller_mixed_mega(var_p, var_q, fixed_ps, tables, interpret=None):
     fixed = tuple(
         jnp.stack([jnp.asarray(p[i]) for p in fixed_ps]) for i in range(3)
     )
-    return _miller_mixed_mega_jit(
+    batch = fixed[0].shape[-1]
+    if var_p is not None:
+        var_p = tuple(jnp.asarray(x) for x in var_p)
+        var_q = tuple(jnp.asarray(x) for x in var_q)
+    (var_p, var_q, fixed), _ = _pad_batch((var_p, var_q, fixed), batch)
+    out = _miller_mixed_mega_jit(
         var_p, var_q, fixed, lines_arr, tails_arr, interpret=interpret
     )
+    return out[..., :batch]
 
 
 def final_exp_mega(f, interpret=None):
     """f: (16, 12, B) -> (16, 12, B)."""
     if interpret is None:
         interpret = F.pallas_interpret()
-    return _final_exp_mega_jit(f, interpret=interpret)
+    batch = f.shape[-1]
+    f, _ = _pad_batch(jnp.asarray(f), batch)
+    # zero lanes are not valid Fq12 values but every op on them is still
+    # well-defined uint32 arithmetic; the lanes are sliced away below
+    return _final_exp_mega_jit(f, interpret=interpret)[..., :batch]
 
 
 def msm_affine_mega(points, scalars, interpret=None):
@@ -680,4 +711,8 @@ def msm_affine_mega(points, scalars, interpret=None):
     canonical. Returns affine (x:(16,B), y:(16,B), inf:(B,) bool)."""
     if interpret is None:
         interpret = F.pallas_interpret()
-    return _msm_affine_mega_jit(points, scalars, interpret=interpret)
+    batch = points[0].shape[-1]
+    (points, scalars), _ = _pad_batch(
+        (tuple(jnp.asarray(x) for x in points), jnp.asarray(scalars)), batch)
+    out = _msm_affine_mega_jit(points, scalars, interpret=interpret)
+    return tuple(a[..., :batch] for a in out)

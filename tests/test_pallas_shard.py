@@ -89,6 +89,7 @@ def test_sharded_msm_traces_with_pallas_pippenger(force_pallas):
     assert [tuple(o.shape) for o in traced.out_info] == [(16, 1)] * 3
 
 
+@pytest.mark.slow  # tracing the mega-kernel bodies takes minutes on 2 cores
 def test_mega_kernels_trace_with_pallas(force_pallas):
     """Batched pipeline stages (Miller product, final exp, mega MSM) must
     trace with the Pallas dispatch on — jit-level, as the batch verifiers

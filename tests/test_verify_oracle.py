@@ -27,6 +27,7 @@ def test_groth16_synthetic_verifies(g16):
     assert Groth16Verifier.verify(g16.proof, g16.vk, g16.public_inputs) is True
 
 
+@pytest.mark.slow  # compiles the pipeline at the SP1 k-count-4 shape
 def test_groth16_sp1_shaped_verifies_all_backends():
     """SP1-layout synthetic vector (k-count 4, one committed array,
     ncommitments=1 + pok trailing region — 388-byte proof) end-to-end on

@@ -43,7 +43,7 @@ def main():
         f"expected >= {n_dev} CPU devices, got {devs!r}"
     )
     mesh = S.make_mesh(n_dev, model_parallelism=1)
-    n_inputs, args = _packed_groth16_example(batch=batch)
+    n_inputs, args, _vk = _packed_groth16_example(batch=batch)
     sharded = S.shard_batch(args, mesh)
 
     t0 = time.time()
