@@ -102,9 +102,18 @@ def bench_groth16_batch(cfg, iters):
     compile_time = time.time() - t0
     assert bool(np.asarray(ok).all()), "bench verification returned False"
 
+    # pipelined dispatch: batch i+1's host parse/pack overlaps batch i's
+    # device execution and result fetch (JAX async dispatch) — the serving
+    # pattern; verify_batch's serial sync-per-batch costs a full device
+    # round trip per batch on a remote attachment
     t0 = time.time()
+    pending = []
     for _ in range(iters):
-        ok = verifier.verify_batch(proofs, inputs)
+        pending.append(verifier.verify_batch_async(proofs, inputs))
+        if len(pending) > 2:
+            assert bool(np.asarray(pending.pop(0)).all())
+    for p in pending:
+        assert bool(np.asarray(p).all())
     elapsed = time.time() - t0
     stats = verifier.last_stats
     n_chips = max(1, len(jax.devices()))
@@ -146,9 +155,15 @@ def bench_plonk_batch(cfg, iters):
     compile_time = time.time() - t0
     assert bool(np.asarray(ok).all()), "plonk bench verification returned False"
 
+    # pipelined dispatch (see bench_groth16_batch)
     t0 = time.time()
+    pending = []
     for _ in range(iters):
-        ok = verifier.verify_batch(proofs, pins)
+        pending.append(verifier.verify_batch_async(proofs, pins))
+        if len(pending) > 2:
+            assert bool(np.asarray(pending.pop(0)).all())
+    for p in pending:
+        assert bool(np.asarray(p).all())
     elapsed = time.time() - t0
     stats = verifier.last_stats
     n_chips = max(1, len(jax.devices()))
@@ -314,10 +329,16 @@ def bench_mixed(cfg, iters):
     compile_time = time.time() - t0
     assert bool(np.asarray(ok1).all()) and bool(np.asarray(ok2).all())
 
+    # interleaved pipelined dispatch across both protocols
     t0 = time.time()
+    pending = []
     for _ in range(iters):
-        gv.verify_batch(g_proofs, g_inputs)
-        pv.verify_batch(p_proofs, p_inputs)
+        pending.append(gv.verify_batch_async(g_proofs, g_inputs))
+        pending.append(pv.verify_batch_async(p_proofs, p_inputs))
+        while len(pending) > 2:
+            assert bool(np.asarray(pending.pop(0)).all())
+    for p in pending:
+        assert bool(np.asarray(p).all())
     elapsed = time.time() - t0
     n_chips = max(1, len(jax.devices()))
     total = 2 * batch * iters
@@ -615,12 +636,19 @@ def main():
     }
     # Per-config wall-clock budgets (seconds): a hung config raises instead
     # of eating the round; its error line is emitted and the rest proceed.
+    # Budgets assume a COLD process: cross-process reuse of the persistent
+    # compile cache proved unreliable on the axon attachment (measured
+    # r05), so every config's budget covers its worst-case incremental
+    # compile within one process. The canonical-batch padding
+    # (ops/pairing_pallas.py::_pad_batch) makes singles/preflight share
+    # the batch configs' executables, so only the first batch config and
+    # the 2-pair product pay large compiles.
     budgets = {
-        "groth16_batch": 1200, "plonk_batch": 900, "msm": 600, "mixed": 480,
-        "groth16_single": 300, "plonk_single": 420, "scaling": 720,
-        "pallas_validation": 720,
+        "groth16_batch": 1300, "plonk_batch": 900, "msm": 900, "mixed": 480,
+        "groth16_single": 300, "plonk_single": 420, "scaling": 900,
+        "pallas_validation": 900,
     }
-    global_budget = int(os.environ.get("TPU_BN254_BENCH_BUDGET_S", "3000"))
+    global_budget = int(os.environ.get("TPU_BN254_BENCH_BUDGET_S", "3300"))
     t_start = time.time()
     headline_line = None
 

@@ -265,12 +265,35 @@ class Groth16BatchVerifier:
         proofs: Sequence[bytes],
         public_inputs: Sequence[Sequence[int]],
     ) -> np.ndarray:
+        t_start = time.perf_counter()
+        ok = np.asarray(self.verify_batch_async(proofs, public_inputs))
+        self.last_stats = RunStats(
+            protocol="groth16",
+            batch_size=len(proofs),
+            n_chips=max(1, len(jax.devices())),
+            elapsed_s=time.perf_counter() - t_start,
+            n_valid=int(ok.sum()),
+            pairings_per_proof=3,  # 3-pair batch vs cached e(alpha,beta)
+        )
+        return ok
+
+    def verify_batch_async(
+        self,
+        proofs: Sequence[bytes],
+        public_inputs: Sequence[Sequence[int]],
+    ):
+        """Dispatch one batch WITHOUT syncing: returns the device bool
+        array. JAX dispatch is asynchronous, so the caller can prepare and
+        dispatch the next batch while this one executes — pipelined
+        throughput hides the device time and the fixed device->host fetch
+        round trip (~60 ms on a remote attachment) behind host parsing of
+        the next batch. ``verify_batch`` is this plus a sync."""
         b = len(proofs)
         assert len(public_inputs) == b
-        t_start = time.perf_counter()
+        on_curve_dev = None
         parsed = self._parse_proofs(proofs)
         if parsed is not None:
-            ar, bs, krs, valid = parsed
+            ar, bs, krs, valid, on_curve_dev = parsed
         else:
             ar, bs, krs, valid = self._parse_proofs_python(proofs)
         scalars = []
@@ -290,20 +313,16 @@ class Groth16BatchVerifier:
         else:
             sc = np.zeros((0, 16, b), np.uint32)
         ab = np.broadcast_to(self._alpha_beta(), (16, 12, b))
-        ok = _groth16_pipeline(
+        valid_dev = jnp.asarray(valid)
+        if on_curve_dev is not None:
+            # AND the device-computed G2 on-curve mask here instead of
+            # syncing it to host in the parse stage — one fewer fixed-cost
+            # device->host round trip per batch
+            valid_dev = jnp.logical_and(valid_dev, on_curve_dev)
+        return _groth16_pipeline(
             self.n_inputs, k_stack, sc, ar, bs, krs, self._line_tables(),
-            ab, jnp.asarray(valid),
+            ab, valid_dev,
         )
-        ok = np.asarray(ok)
-        self.last_stats = RunStats(
-            protocol="groth16",
-            batch_size=b,
-            n_chips=max(1, len(jax.devices())),
-            elapsed_s=time.perf_counter() - t_start,
-            n_valid=int(ok.sum()),
-            pairings_per_proof=3,  # 3-pair batch vs cached e(alpha,beta)
-        )
-        return ok
 
     def _parse_proofs(self, proofs: Sequence[bytes]):
         """Native batch parse (C++ data-plane); None if unavailable or the
@@ -324,10 +343,10 @@ class Groth16BatchVerifier:
         bs_x = np.stack([outs["bs_x0"], outs["bs_x1"]], 1)
         bs_y = np.stack([outs["bs_y0"], outs["bs_y1"]], 1)
         bs = (bs_x, bs_y, zeros)
-        # G2 on-curve check on device (Fq2 arithmetic)
-        on_curve = np.asarray(_g2_on_curve_jit(bs))
-        valid &= on_curve
-        return ar, bs, krs, valid
+        # G2 on-curve check on device (Fq2 arithmetic); stays a DEVICE
+        # value — the caller folds it into the pipeline's valid mask
+        on_curve = _g2_on_curve_jit(bs)
+        return ar, bs, krs, valid, on_curve
 
     def _parse_proofs_python(self, proofs: Sequence[bytes]):
         b = len(proofs)
@@ -428,6 +447,7 @@ class PlonkBatchVerifier:
         ]
         self._tables = None  # KZG ([1]_2, [x]_2) Miller line tables, lazy
         self.last_stats: Optional[RunStats] = None  # set by verify_batch
+        self._last_host_s = 0.0
 
     def _kzg_tables(self):
         """Precomputed Miller line tables for the KZG SRS G2 points
@@ -447,6 +467,24 @@ class PlonkBatchVerifier:
         public_inputs: Sequence[Sequence[int]],
         rng=None,
     ) -> np.ndarray:
+        t_start = time.perf_counter()
+        ok = np.asarray(self.verify_batch_async(proofs, public_inputs, rng))
+        self.last_stats = self._stats(
+            len(proofs), int(ok.sum()), time.perf_counter() - t_start,
+            self._last_host_s,
+        )
+        return ok
+
+    def verify_batch_async(
+        self,
+        proofs: Sequence[bytes],
+        public_inputs: Sequence[Sequence[int]],
+        rng=None,
+    ):
+        """Dispatch one batch; returns the device bool array without the
+        final sync (see Groth16BatchVerifier.verify_batch_async — same
+        pipelining contract; PlonK still pays its internal phase-A host
+        sync for the KZG fold challenge)."""
         vk = self.vk
         b = len(proofs)
         t_start = time.perf_counter()
@@ -511,7 +549,7 @@ class PlonkBatchVerifier:
         host_s += time.perf_counter() - t_start
         template = next((l for l in lanes if l is not None), None)
         if template is None:
-            self.last_stats = self._stats(b, 0, time.perf_counter() - t_start, host_s)
+            self._last_host_s = host_s
             return np.zeros(b, dtype=bool)
 
         # phase A: linearization digest MSM on device
@@ -583,14 +621,10 @@ class PlonkBatchVerifier:
         quot_pts = _stack_affine_g1([col(j, quot_cols, bn.G1_GEN) for j in range(n_quot)])
         quot_sc = np.stack([scal(j, quot_cols) for j in range(n_quot)], axis=0)
         host_s += time.perf_counter() - t_host2
-        ok = _plonk_final_kernel(
+        self._last_host_s = host_s
+        return _plonk_final_kernel(
             combo_pts, combo_sc, quot_pts, quot_sc, self._kzg_tables(), valid
         )
-        ok = np.asarray(ok)
-        self.last_stats = self._stats(
-            b, int(ok.sum()), time.perf_counter() - t_start, host_s
-        )
-        return ok
 
     def _stats(self, b: int, n_valid: int, elapsed: float, host_s: float) -> RunStats:
         return RunStats(

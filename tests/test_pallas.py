@@ -154,7 +154,12 @@ def test_miller_product_and_final_exp_interpret_match_oracle():
 @_heavy
 def test_miller_mixed_interpret_matches_oracle():
     """The mixed (shared-chain, SMEM line-table) kernel body in interpret
-    mode — the exact kernel both production batch pipelines dispatch."""
+    mode — the exact kernel both production batch pipelines dispatch.
+    Gated like the other pairing interpret tests: the interpret compile
+    exceeded 1 h of XLA:CPU on the 2-core build host (measured r05).
+    Authoritative coverage is the on-TPU Mosaic preflight
+    (bench.py::bench_pallas_validation stages miller_mixed_var /
+    miller_mixed_fixed_only, bit-exact vs the oracle on v5e)."""
     from snark_bn254_verifier_tpu.ops import lines as LN
 
     q_fixed = [bn.g2_mul(bn.G2_GEN, rng.randrange(1, bn.R)) for _ in range(2)]
