@@ -51,6 +51,22 @@ KERNEL_ENTRY_POINTS = (
 )
 
 
+def _vmem_params(interpret: bool):
+    """Raised scoped-VMEM limit for the mega kernels. Mosaic's scoped
+    allocation is NOT deterministic run-to-run (measured r05: fe_easy_expx
+    16.61 MB on one compile vs under 16 on two earlier ones; fe_combine
+    29.3 MB vs under 28 previously), so kernels sitting near the 16 MB
+    default limit fail intermittently. v5e has 128 MB VMEM/core and the
+    block working set is ~4 MB, so a uniform 64 MB scoped limit leaves
+    2x headroom over the worst allocation ever observed while keeping an
+    aggregate cap well under the physical budget."""
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024
+    )}
+
+
 def _bspec(shape):
     ndim = len(shape)
     return pl.BlockSpec(
@@ -300,6 +316,7 @@ def _miller_call(n_pairs: int, rows: int, interpret: bool, vma: tuple = (),
         ],
         out_specs=_bspec2((1, L, 12, tile, 128)),
         interpret=interpret,
+        **_vmem_params(interpret),
     )
 
 
@@ -338,6 +355,7 @@ def _miller_mixed_call(nf: int, has_var: bool, rows: int, interpret: bool,
         ],
         out_specs=_bspec((L, 12, tile, 128)),
         interpret=interpret,
+        **_vmem_params(interpret),
     )
 
 
@@ -354,6 +372,7 @@ def _product_call(n_pairs: int, rows: int, interpret: bool, vma: tuple = (),
         in_specs=[_bspec((n_pairs, L, 12, tile, 128))],
         out_specs=_bspec((L, 12, tile, 128)),
         interpret=interpret,
+        **_vmem_params(interpret),
     )
 
 
@@ -370,19 +389,13 @@ def _fe_easy_expx_call(rows: int, interpret: bool, vma: tuple = (),
         in_specs=[_bspec((L, 12, tile, 128))],
         out_specs=(_bspec((L, 12, tile, 128)),) * 4,
         interpret=interpret,
+        **_vmem_params(interpret),
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _fe_combine_call(rows: int, interpret: bool, vma: tuple = (),
                      tile: int = TILE_S):
-    # peak liveness of the combine measured 17.5 MB on v5e (inputs + the
-    # 4-entry ladder tables + carry/temporaries) against Mosaic's default
-    # 16 MB scoped budget; the physical per-core VMEM is far larger, so
-    # raise the per-kernel limit instead of splitting a third time
-    params = None if interpret else pltpu.CompilerParams(
-        vmem_limit_bytes=28 * 1024 * 1024
-    )
     return pl.pallas_call(
         _fe_combine_kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -392,7 +405,7 @@ def _fe_combine_call(rows: int, interpret: bool, vma: tuple = (),
         in_specs=[_bspec((L, 12, tile, 128))] * 4,
         out_specs=_bspec((L, 12, tile, 128)),
         interpret=interpret,
-        **({} if params is None else {"compiler_params": params}),
+        **_vmem_params(interpret),
     )
 
 
@@ -421,6 +434,7 @@ def _msm_chunk_call(n_points: int, w: int, rows: int, interpret: bool,
             _bspec((L, tile, 128)),
         ),
         interpret=interpret,
+        **_vmem_params(interpret),
     )
 
 
@@ -448,6 +462,7 @@ def _jacobian_combine_call(n_chunks: int, rows: int, interpret: bool,
             _bspec((1, tile, 128)),
         ),
         interpret=interpret,
+        **_vmem_params(interpret),
     )
 
 
